@@ -1,0 +1,166 @@
+"""Tests for the Svar-analog config, registries, and the Messenger bus.
+
+Mirrors the reference's unit-test surface for Svar (argv parsing, holder
+types, dotted keys) and Messenger (advertise/subscribe delivery, queue
+bounds) — SURVEY.md section 4.
+"""
+
+import threading
+import time
+
+import pytest
+
+from gslam_tpu.app.config import Svar
+from gslam_tpu.app.messenger import Messenger
+from gslam_tpu.app.registry import Registry
+
+
+class TestSvar:
+    def test_arg_default(self):
+        s = Svar()
+        assert s.arg("Dataset.Skip", 3, "skip") == 3
+        assert s.get("Dataset.Skip") == 3
+
+    def test_parse_main_types(self):
+        s = Svar()
+        # grammar matches the reference CLI: `gslam qviz -dataset x ...`
+        # (positionals first, then -key value pairs; trailing -flag is bare)
+        pos = s.parse_main(["pos0", "-x", "5", "-y", "1.5", "-name", "kitti",
+                            "-neg", "-3", "-flag"])
+        assert pos == ["pos0"]
+        assert s["x"] == 5 and isinstance(s["x"], int)
+        assert s["y"] == 1.5
+        assert s["name"] == "kitti"
+        assert s["flag"] is True
+        assert s["neg"] == -3
+
+    def test_dotted_keys(self):
+        s = Svar()
+        s.parse_main(["-Dataset.Skip", "2"])
+        assert s.arg("Dataset.Skip", 0) == 2
+        assert s.get("Dataset") == {"Skip": 2}
+
+    def test_arg_coerces_string(self):
+        s = Svar()
+        s.set("n", "7")
+        assert s.arg("n", 0) == 7
+
+    def test_vec_parament(self):
+        # VecParament analog: "0.5 100 3" -> [0.5, 100.0, 3.0]
+        s = Svar()
+        s.set("cam", "0.5 100 3")
+        assert s.arg("cam", [0.0]) == [0.5, 100.0, 3.0]
+
+    def test_config_file_precedence(self, tmp_path):
+        cfg = tmp_path / "c.json"
+        cfg.write_text('{"a": 1, "b": {"c": 2}}')
+        s = Svar()
+        s.parse_main(["-a", "9", "-conf", str(cfg)])
+        assert s["a"] == 9  # explicit flag wins
+        assert s["b.c"] == 2  # file fills unset
+
+    def test_contains_and_missing(self):
+        s = Svar()
+        assert "nope" not in s
+        with pytest.raises(KeyError):
+            s["nope"]
+
+
+class TestRegistry:
+    def test_register_create(self):
+        r = Registry("thing")
+
+        @r.register("Foo")
+        class Foo:
+            def __init__(self, v=1):
+                self.v = v
+
+        assert "foo" in r
+        assert r.create("FOO", v=2).v == 2
+        with pytest.raises(KeyError):
+            r.create("bar")
+
+    def test_duplicate_rejected(self):
+        r = Registry("thing")
+        r.register("x")(lambda: 1)
+        with pytest.raises(KeyError):
+            r.register("x")(lambda: 2)
+
+
+class TestMessenger:
+    def test_sync_delivery(self):
+        bus = Messenger()
+        got = []
+        bus.subscribe("frames", 0, got.append)
+        pub = bus.advertise("frames")
+        n = pub.publish({"id": 1})
+        assert n == 1 and got == [{"id": 1}]
+
+    def test_zero_copy_payload(self):
+        bus = Messenger()
+        got = []
+        bus.subscribe("t", 0, got.append)
+        payload = object()
+        bus.publish("t", payload)
+        assert got[0] is payload  # same object, no serialization
+
+    def test_queued_delivery(self):
+        bus = Messenger()
+        got = []
+        done = threading.Event()
+
+        def cb(m):
+            got.append(m)
+            if len(got) == 3:
+                done.set()
+
+        sub = bus.subscribe("q", 10, cb)
+        for i in range(3):
+            bus.publish("q", i)
+        assert done.wait(2.0)
+        assert got == [0, 1, 2]
+        sub.shutdown()
+
+    def test_bounded_queue_drops_oldest(self):
+        bus = Messenger()
+        got = []
+        sub = bus.subscribe("q", 2, lambda m: (time.sleep(0.02), got.append(m)))
+        for i in range(20):
+            bus.publish("q", i)
+        sub.flush()
+        time.sleep(0.1)
+        sub.shutdown()
+        assert len(got) < 20  # bounded: some were dropped
+        assert got[-1] == 19 or 19 not in got  # newest kept when possible
+
+    def test_unsubscribe(self):
+        bus = Messenger()
+        got = []
+        sub = bus.subscribe("x", 0, got.append)
+        sub.shutdown()
+        assert bus.publish("x", 1) == 0
+        assert got == []
+
+
+class TestTimerMetrics:
+    def test_timer_sections(self):
+        from gslam_tpu.utils.timer import Timer
+
+        t = Timer()
+        with t.section("a"):
+            time.sleep(0.01)
+        with t.section("a"):
+            time.sleep(0.01)
+        st = t.stats()["a"]
+        assert st["count"] == 2 and st["total"] >= 0.02
+        assert "a" in t.table()
+
+    def test_metrics_registry(self):
+        from gslam_tpu.utils.metrics import MetricsRegistry
+
+        m = MetricsRegistry()
+        m.emit(track_ms=5.0, n_matches=100)
+        m.emit(track_ms=7.0, n_matches=120)
+        s = m.summary()
+        assert s["track_ms"]["mean"] == 6.0
+        assert m.column("n_matches") == [100, 120]
