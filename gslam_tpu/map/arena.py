@@ -1,0 +1,349 @@
+"""Fixed-capacity SoA map arenas + functional insert/erase/query ops.
+
+Replaces the reference's pointer-graph map (``GSLAM/core/Map.h``:
+insert/erase frames & points by id, id allocation, save/load;
+``MapFrame::addObservation/getObservations``; covisibility
+``FrameConnection`` edges) with a design XLA can compile:
+
+* every store is a fixed-capacity array with a validity mask;
+* an id IS its arena slot; allocation is a counter bump + masked
+  ``dynamic_update_slice`` — no host round-trip inside jit;
+* observations are a flat edge list (frame, point, kp) — BA gathers it
+  directly; per-point/per-frame groupings are ``segment_sum``s;
+* the covisibility graph is not stored: it is the Gram matrix of the
+  frame x point incidence matrix, i.e. one bf16 GEMM on the MXU
+  (reference walks per-point observation maps in C++);
+* erase = clearing masks (slots are reclaimed by ``compact`` offline).
+
+Capacities are static (jit shape stability); overflow drops writes and
+raises a saturating ``overflow`` flag the host can poll.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# descriptor: 256-bit binary (ORB-style), packed as 8 x uint32
+DESC_WORDS = 8
+
+
+class MapArena(struct.PyTreeNode):
+    """The whole SLAM world state as one pytree (see module docstring).
+
+    Shapes (capacities F frames, K keypoints/frame, P points, E obs):
+      frames : pose (F,8) Sim3 [t,q,s]; time (F,); valid (F,); flags (F,);
+               camera index (F,); kp uv (F,K,2); kp meta (F,K,4) =
+               [size, angle, response, octave]; kp depth (F,K) (RGB-D /
+               stereo; 0 = none); descriptors (F,K,DESC_WORDS) uint32;
+               kp_count (F,)
+      points : xyz (P,3); normal (P,3); color (P,3); descriptor
+               (P,DESC_WORDS) uint32; valid (P,); ref_frame (P,)
+      obs    : frame (E,), point (E,), kp (E,), valid (E,)
+      counters: n_frames, n_points, n_obs, overflow
+    """
+
+    # frames
+    frame_pose: jnp.ndarray
+    frame_time: jnp.ndarray
+    frame_valid: jnp.ndarray
+    frame_flags: jnp.ndarray
+    frame_camera: jnp.ndarray
+    frame_kp_uv: jnp.ndarray
+    frame_kp_meta: jnp.ndarray
+    frame_kp_depth: jnp.ndarray
+    frame_desc: jnp.ndarray
+    frame_kp_count: jnp.ndarray
+    # points
+    point_xyz: jnp.ndarray
+    point_normal: jnp.ndarray
+    point_color: jnp.ndarray
+    point_desc: jnp.ndarray
+    point_valid: jnp.ndarray
+    point_ref_frame: jnp.ndarray
+    # observations
+    obs_frame: jnp.ndarray
+    obs_point: jnp.ndarray
+    obs_kp: jnp.ndarray
+    obs_valid: jnp.ndarray
+    # counters (scalars)
+    n_frames: jnp.ndarray
+    n_points: jnp.ndarray
+    n_obs: jnp.ndarray
+    overflow: jnp.ndarray
+
+    # static capacities
+    cap_frames: int = struct.field(pytree_node=False)
+    cap_kps: int = struct.field(pytree_node=False)
+    cap_points: int = struct.field(pytree_node=False)
+    cap_obs: int = struct.field(pytree_node=False)
+
+
+def make_arena(cap_frames: int = 256, cap_kps: int = 512,
+               cap_points: int = 16384, cap_obs: int = 65536) -> MapArena:
+    F, K, P, E = cap_frames, cap_kps, cap_points, cap_obs
+    f32, i32 = jnp.float32, jnp.int32
+    pose0 = jnp.zeros((F, 8), f32).at[:, 3].set(1.0).at[:, 7].set(1.0)
+    return MapArena(
+        frame_pose=pose0,
+        frame_time=jnp.zeros((F,), f32),
+        frame_valid=jnp.zeros((F,), bool),
+        frame_flags=jnp.zeros((F,), i32),
+        frame_camera=jnp.zeros((F,), i32),
+        frame_kp_uv=jnp.zeros((F, K, 2), f32),
+        frame_kp_meta=jnp.zeros((F, K, 4), f32),
+        frame_kp_depth=jnp.zeros((F, K), f32),
+        frame_desc=jnp.zeros((F, K, DESC_WORDS), jnp.uint32),
+        frame_kp_count=jnp.zeros((F,), i32),
+        point_xyz=jnp.zeros((P, 3), f32),
+        point_normal=jnp.zeros((P, 3), f32),
+        point_color=jnp.zeros((P, 3), f32),
+        point_desc=jnp.zeros((P, DESC_WORDS), jnp.uint32),
+        point_valid=jnp.zeros((P,), bool),
+        point_ref_frame=jnp.zeros((P,), i32),
+        obs_frame=jnp.zeros((E,), i32),
+        obs_point=jnp.zeros((E,), i32),
+        obs_kp=jnp.zeros((E,), i32),
+        obs_valid=jnp.zeros((E,), bool),
+        n_frames=jnp.zeros((), i32),
+        n_points=jnp.zeros((), i32),
+        n_obs=jnp.zeros((), i32),
+        overflow=jnp.zeros((), bool),
+        cap_frames=F, cap_kps=K, cap_points=P, cap_obs=E,
+    )
+
+
+# ---------------------------------------------------------------------------
+# insertion (all jit-safe; ids are slots)
+
+
+def insert_frame(arena: MapArena, pose: jnp.ndarray, time: jnp.ndarray,
+                 kp_uv: jnp.ndarray, kp_meta: jnp.ndarray,
+                 desc: jnp.ndarray, kp_count: jnp.ndarray,
+                 kp_depth: Optional[jnp.ndarray] = None,
+                 camera: int | jnp.ndarray = 0,
+                 flags: int | jnp.ndarray = 0,
+                 ) -> Tuple[MapArena, jnp.ndarray]:
+    """Insert one frame; returns (arena, frame_id).
+
+    ``kp_uv`` (K,2) / ``kp_meta`` (K,4) / ``desc`` (K,DESC_WORDS) must be
+    padded to the arena's keypoint capacity; ``kp_count`` is the live
+    count.  On overflow the write is dropped and ``overflow`` set.
+    """
+    fid = arena.n_frames
+    ok = fid < arena.cap_frames
+    slot = jnp.where(ok, fid, arena.cap_frames - 1)
+
+    def wr(buf, val):
+        new = buf.at[slot].set(val)
+        return jnp.where(ok, new, buf) if buf.ndim == 1 else \
+            jax.lax.select(ok, new, buf)
+
+    if kp_depth is None:
+        kp_depth = jnp.zeros((arena.cap_kps,), jnp.float32)
+    arena = arena.replace(
+        frame_pose=wr(arena.frame_pose, pose.astype(jnp.float32)),
+        frame_time=wr(arena.frame_time, jnp.asarray(time, jnp.float32)),
+        frame_valid=wr(arena.frame_valid, jnp.asarray(True)),
+        frame_flags=wr(arena.frame_flags, jnp.asarray(flags, jnp.int32)),
+        frame_camera=wr(arena.frame_camera, jnp.asarray(camera, jnp.int32)),
+        frame_kp_uv=wr(arena.frame_kp_uv, kp_uv),
+        frame_kp_meta=wr(arena.frame_kp_meta, kp_meta),
+        frame_kp_depth=wr(arena.frame_kp_depth, kp_depth),
+        frame_desc=wr(arena.frame_desc, desc),
+        frame_kp_count=wr(arena.frame_kp_count,
+                          jnp.asarray(kp_count, jnp.int32)),
+        n_frames=jnp.where(ok, fid + 1, fid),
+        overflow=arena.overflow | ~ok,
+    )
+    return arena, jnp.where(ok, fid, -1)
+
+
+def insert_points(arena: MapArena, xyz: jnp.ndarray, desc: jnp.ndarray,
+                  valid: jnp.ndarray, ref_frame: jnp.ndarray,
+                  normal: Optional[jnp.ndarray] = None,
+                  color: Optional[jnp.ndarray] = None,
+                  ) -> Tuple[MapArena, jnp.ndarray]:
+    """Batch-insert N candidate points (mask `valid` selects real ones).
+
+    Valid entries are compacted to the front (sort by ~valid) and written
+    contiguously at ``n_points``; returns per-input point ids (-1 where
+    invalid/dropped).  This is the XLA version of N ``insertMapPoint``
+    calls: one sort + one scatter.
+    """
+    N = xyz.shape[0]
+    valid = valid.astype(bool)
+    order = jnp.argsort(~valid)  # valid entries first, stable
+    xyz_s = xyz[order]
+    desc_s = desc[order]
+    ref_s = jnp.broadcast_to(jnp.asarray(ref_frame, jnp.int32), (N,))[order]
+    normal_s = (jnp.zeros_like(xyz) if normal is None else normal)[order]
+    color_s = (jnp.zeros_like(xyz) if color is None else color)[order]
+    n_new = valid.sum()
+
+    base = arena.n_points
+    # slot for the i-th sorted entry
+    idx = jnp.arange(N, dtype=jnp.int32)
+    want = idx < n_new
+    fits = (base + idx) < arena.cap_points
+    write = want & fits
+    slots = jnp.where(write, base + idx, arena.cap_points - 1)
+
+    def scat(buf, val, keep_invalid_row=False):
+        # write rows where `write`; others rewrite their own current value
+        safe_val = jnp.where(write[(...,) + (None,) * (val.ndim - 1)],
+                             val, buf[slots])
+        return buf.at[slots].set(safe_val)
+
+    arena = arena.replace(
+        point_xyz=scat(arena.point_xyz, xyz_s.astype(jnp.float32)),
+        point_desc=scat(arena.point_desc, desc_s),
+        point_normal=scat(arena.point_normal, normal_s.astype(jnp.float32)),
+        point_color=scat(arena.point_color, color_s.astype(jnp.float32)),
+        point_ref_frame=scat(arena.point_ref_frame, ref_s),
+        point_valid=arena.point_valid.at[slots].set(
+            jnp.where(write, True, arena.point_valid[slots])),
+        n_points=jnp.minimum(base + n_new, arena.cap_points),
+        overflow=arena.overflow | jnp.any(want & ~fits),
+    )
+    # map back to input order: the i-th input (if valid) went to sorted
+    # position rank_i = cumsum(valid)[i]-1 -> slot base + rank_i
+    rank = jnp.cumsum(valid) - 1
+    ids = jnp.where(valid & ((base + rank) < arena.cap_points),
+                    base + rank, -1)
+    return arena, ids.astype(jnp.int32)
+
+
+def add_observations(arena: MapArena, frame_id: jnp.ndarray,
+                     point_ids: jnp.ndarray, kp_ids: jnp.ndarray,
+                     valid: jnp.ndarray) -> MapArena:
+    """Append N observation edges (frame, point, kp) where valid."""
+    N = point_ids.shape[0]
+    valid = valid.astype(bool) & (point_ids >= 0)
+    order = jnp.argsort(~valid)
+    pt_s = point_ids[order]
+    kp_s = kp_ids[order]
+    n_new = valid.sum()
+    base = arena.n_obs
+    idx = jnp.arange(N, dtype=jnp.int32)
+    want = idx < n_new
+    fits = (base + idx) < arena.cap_obs
+    write = want & fits
+    slots = jnp.where(write, base + idx, arena.cap_obs - 1)
+
+    def scat(buf, val):
+        return buf.at[slots].set(jnp.where(write, val, buf[slots]))
+
+    return arena.replace(
+        obs_frame=scat(arena.obs_frame,
+                       jnp.broadcast_to(jnp.asarray(frame_id, jnp.int32),
+                                        (N,))),
+        obs_point=scat(arena.obs_point, pt_s.astype(jnp.int32)),
+        obs_kp=scat(arena.obs_kp, kp_s.astype(jnp.int32)),
+        obs_valid=scat(arena.obs_valid, write),
+        n_obs=jnp.minimum(base + n_new, arena.cap_obs),
+        overflow=arena.overflow | jnp.any(want & ~fits),
+    )
+
+
+# ---------------------------------------------------------------------------
+# erasure (mask clearing; reference Map::eraseMapFrame/eraseMapPoint)
+
+
+def erase_points(arena: MapArena, point_ids: jnp.ndarray) -> MapArena:
+    pv = arena.point_valid.at[point_ids.clip(0)].set(
+        jnp.where(point_ids >= 0, False, arena.point_valid[point_ids.clip(0)]))
+    ov = arena.obs_valid & pv[arena.obs_point]
+    return arena.replace(point_valid=pv, obs_valid=ov)
+
+
+def erase_frame(arena: MapArena, frame_id: jnp.ndarray) -> MapArena:
+    fv = arena.frame_valid.at[frame_id].set(False)
+    ov = arena.obs_valid & (arena.obs_frame != frame_id)
+    return arena.replace(frame_valid=fv, obs_valid=ov)
+
+
+# ---------------------------------------------------------------------------
+# covisibility graph (reference FrameConnection / getParents-getChildren)
+
+
+def _incidence(arena: MapArena) -> jnp.ndarray:
+    """(F, P) observation incidence in bf16 (exact for 0/1)."""
+    M = jnp.zeros((arena.cap_frames, arena.cap_points), jnp.bfloat16)
+    w = arena.obs_valid.astype(jnp.bfloat16)
+    return M.at[arena.obs_frame, arena.obs_point].add(
+        w, mode="drop").clip(0, 1)
+
+
+def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
+    """(F, F) shared-landmark counts — one MXU GEMM, diagonal zeroed."""
+    M = _incidence(arena)
+    C = jnp.dot(M, M.T, preferred_element_type=jnp.float32)
+    C = C * (1.0 - jnp.eye(arena.cap_frames, dtype=C.dtype))
+    both = jnp.outer(arena.frame_valid, arena.frame_valid)
+    return jnp.where(both, C, 0.0).astype(jnp.int32)
+
+
+def covisibility_topk(arena: MapArena, frame_id: jnp.ndarray, k: int,
+                      min_common: int = 15
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k covisible neighbours of one frame: (ids, counts); -1 pad."""
+    M = _incidence(arena)
+    row = jnp.dot(M[frame_id], M.T, preferred_element_type=jnp.float32)
+    row = row.at[frame_id].set(0.0)
+    row = jnp.where(arena.frame_valid, row, 0.0)
+    counts, ids = jax.lax.top_k(row, k)
+    good = counts >= min_common
+    return (jnp.where(good, ids, -1).astype(jnp.int32),
+            jnp.where(good, counts, 0).astype(jnp.int32))
+
+
+def frame_point_ids(arena: MapArena, frame_id: jnp.ndarray,
+                    max_points: int) -> jnp.ndarray:
+    """Point ids observed by a frame, padded with -1 (getObservations)."""
+    hit = arena.obs_valid & (arena.obs_frame == frame_id)
+    # stable compaction of matching obs_point entries to the front
+    order = jnp.argsort(~hit)
+    pts = jnp.where(hit[order], arena.obs_point[order], -1)
+    return pts[:max_points].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# save / load / stats (reference Map::save / Map::load)
+
+
+def save_arena(arena: MapArena, path: str) -> None:
+    """Snapshot to one .npz (the pytree IS the checkpoint; SURVEY 5.4)."""
+    data = {f.name: np.asarray(getattr(arena, f.name))
+            for f in dataclasses.fields(arena)
+            if f.name not in ("cap_frames", "cap_kps", "cap_points",
+                              "cap_obs")}
+    data["_caps"] = np.asarray([arena.cap_frames, arena.cap_kps,
+                                arena.cap_points, arena.cap_obs])
+    np.savez_compressed(path, **data)
+
+
+def load_arena(path: str) -> MapArena:
+    z = np.load(path)
+    caps = z["_caps"]
+    kw = {k: jnp.asarray(z[k]) for k in z.files if k != "_caps"}
+    return MapArena(cap_frames=int(caps[0]), cap_kps=int(caps[1]),
+                    cap_points=int(caps[2]), cap_obs=int(caps[3]), **kw)
+
+
+def arena_stats(arena: MapArena) -> dict:
+    """Host-side summary (frameNum/pointNum analogs)."""
+    return {
+        "n_frames": int(arena.n_frames),
+        "n_points": int(arena.n_points),
+        "n_obs": int(arena.n_obs),
+        "valid_frames": int(np.asarray(arena.frame_valid).sum()),
+        "valid_points": int(np.asarray(arena.point_valid).sum()),
+        "valid_obs": int(np.asarray(arena.obs_valid).sum()),
+        "overflow": bool(arena.overflow),
+    }

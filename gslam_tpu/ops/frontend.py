@@ -1,0 +1,270 @@
+"""ORB-style feature frontend: FAST + orientation + rotated BRIEF.
+
+The reference frames feature extraction as SLAM-plugin code (ORB pyramid
+FAST+BRIEF in ORB-SLAM-style plugins; cf. SURVEY.md section 3.2 "HOT
+LOOP").  This is the TPU-first formulation:
+
+* FAST-9/16 corner test vectorized over the whole image with 16 rolled
+  copies (VPU elementwise, no gather);
+* corner *score* = SAD over the contiguous arc (OpenCV-style sum of
+  |p_i - p| - t over qualifying arc);
+* NMS as a 3x3 max-pool compare (reduce_window);
+* keypoint selection as one global top_k — fixed K, validity-masked,
+  shape-stable under jit;
+* orientation by intensity centroid, computed as two 2D convolutions
+  (x- and y-moment kernels) over the image — MXU work, then a gather;
+* rotated BRIEF-256: a seeded Gaussian point-pair pattern (generated,
+  not copied), rotated per-keypoint, sampled bilinearly from the blurred
+  image, packed to 8 uint32 words.
+
+Everything takes/returns fixed-shape arrays and is jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.map.arena import DESC_WORDS
+
+# 16-pixel Bresenham circle of radius 3 (standard FAST)
+FAST_OFFSETS = np.array([
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2),
+    (-1, 3)], np.int32)  # (dy, dx)... stored as (dx, dy) pairs below
+
+PATCH_R = 15          # orientation / descriptor patch radius
+BRIEF_BITS = DESC_WORDS * 32
+
+
+class Features(NamedTuple):
+    """Fixed-capacity keypoint set for one image."""
+
+    uv: jnp.ndarray       # (K, 2) float32 pixel coords (x, y)
+    score: jnp.ndarray    # (K,) response
+    angle: jnp.ndarray    # (K,) radians
+    desc: jnp.ndarray     # (K, DESC_WORDS) uint32
+    valid: jnp.ndarray    # (K,) bool
+    count: jnp.ndarray    # () int32
+
+
+# ---------------------------------------------------------------------------
+# blur & pyramid
+
+
+def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+@partial(jax.jit, static_argnames=("sigma", "radius"))
+def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0,
+                  radius: int = 4) -> jnp.ndarray:
+    """Separable Gaussian blur, SAME padding. img (H, W) f32."""
+    k = jnp.asarray(_gauss_kernel1d(sigma, radius))
+    x = img[None, None]  # NCHW
+    kh = k[None, None, :, None]
+    kw = k[None, None, None, :]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(radius, radius), (0, 0)])
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (radius, radius)])
+    return x[0, 0]
+
+
+def image_pyramid(img: jnp.ndarray, n_levels: int = 4,
+                  scale: float = 1.25) -> list:
+    """List of downscaled images (level 0 = input). Shapes are static."""
+    out = [img]
+    H, W = img.shape
+    for i in range(1, n_levels):
+        h = int(round(H / scale ** i))
+        w = int(round(W / scale ** i))
+        out.append(jax.image.resize(img, (h, w), "linear"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FAST
+
+
+def fast_score(img: jnp.ndarray, threshold: float = 0.06,
+               arc: int = 9) -> jnp.ndarray:
+    """FAST-N/16 corner score map (0 where not a corner).
+
+    16 rolled copies of the image give the circle samples for every pixel
+    at once; a corner needs >= `arc` contiguous circle pixels all
+    brighter (or all darker) than center +/- threshold.  Score is the
+    OpenCV-style SAD margin: max over qualifying arcs of
+    sum(|p_i - p| - t).
+    """
+    shifted = jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), (0, 1))
+         for (dx, dy) in FAST_OFFSETS], 0)  # (16, H, W)
+    diff = shifted - img[None]
+    bright = diff > threshold
+    dark = diff < -threshold
+    db = jnp.concatenate([bright, bright[:arc]], 0)
+    dd = jnp.concatenate([dark, dark[:arc]], 0)
+    mb = jnp.concatenate([diff, diff[:arc]], 0) - threshold
+    md = -jnp.concatenate([diff, diff[:arc]], 0) - threshold
+
+    def arc_all(x):  # (16+arc, H, W) -> (16, H, W): AND over arc window
+        w = jnp.stack([x[s:s + arc] for s in range(16)], 0)  # (16, arc, H, W)
+        return jnp.all(w, axis=1)
+
+    def arc_sum(x):
+        w = jnp.stack([x[s:s + arc] for s in range(16)], 0)
+        return jnp.sum(w, axis=1)
+
+    okb = arc_all(db)
+    okd = arc_all(dd)
+    sb = jnp.where(okb, arc_sum(mb), 0.0)
+    sd = jnp.where(okd, arc_sum(md), 0.0)
+    score = jnp.maximum(sb.max(0), sd.max(0))
+    # zero the border (circle radius 3)
+    H, W = img.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    border = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+    return jnp.where(border, score, 0.0)
+
+
+def nms(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Non-maximum suppression: keep local maxima in (2r+1)^2 windows."""
+    w = 2 * radius + 1
+    mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (w, w), (1, 1),
+                               "SAME")
+    return jnp.where((score >= mx) & (score > 0), score, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_kps", "border"))
+def select_keypoints(score: jnp.ndarray, max_kps: int = 512,
+                     border: int = PATCH_R + 1
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                jnp.ndarray]:
+    """Top-K maxima -> (uv (K,2), score (K,), valid (K,), count)."""
+    H, W = score.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    ok = ((ys >= border) & (ys < H - border)
+          & (xs >= border) & (xs < W - border))
+    s = jnp.where(ok, score, 0.0).reshape(-1)
+    val, idx = jax.lax.top_k(s, max_kps)
+    y = (idx // W).astype(jnp.float32)
+    x = (idx % W).astype(jnp.float32)
+    valid = val > 0
+    uv = jnp.stack([x, y], -1)
+    return uv, val, valid, valid.sum().astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# orientation (intensity centroid, via moment convolutions)
+
+
+def _moment_kernels(radius: int = PATCH_R) -> Tuple[np.ndarray, np.ndarray]:
+    r = radius
+    y, x = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
+    circ = (x * x + y * y <= r * r).astype(np.float32)
+    return x * circ, y * circ
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def orientation_map(img: jnp.ndarray, radius: int = PATCH_R
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-image centroid moments (m10, m01) via two convolutions."""
+    kx, ky = _moment_kernels(radius)
+    x = img[None, None]
+    pad = [(radius, radius), (radius, radius)]
+    m10 = jax.lax.conv_general_dilated(x, jnp.asarray(kx)[None, None], (1, 1),
+                                       pad)[0, 0]
+    m01 = jax.lax.conv_general_dilated(x, jnp.asarray(ky)[None, None], (1, 1),
+                                       pad)[0, 0]
+    return m10, m01
+
+
+def compute_orientations(img: jnp.ndarray, uv: jnp.ndarray,
+                         radius: int = PATCH_R) -> jnp.ndarray:
+    """Per-keypoint patch orientation (K,) radians."""
+    m10, m01 = orientation_map(img, radius=radius)
+    xi = uv[:, 0].astype(jnp.int32)
+    yi = uv[:, 1].astype(jnp.int32)
+    return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+
+
+# ---------------------------------------------------------------------------
+# rotated BRIEF
+
+
+def brief_pattern(bits: int = BRIEF_BITS, radius: int = PATCH_R,
+                  seed: int = 42) -> np.ndarray:
+    """(bits, 4) sampling pairs [x1, y1, x2, y2], Gaussian(0, r/5)^2
+    clipped to the patch (original BRIEF G-II construction; generated
+    from a fixed seed, NOT copied from OpenCV's learned table)."""
+    rng = np.random.default_rng(seed)
+    p = rng.normal(0.0, radius / 5.0, size=(bits, 4))
+    return np.clip(p, -(radius - 2), radius - 2).astype(np.float32)
+
+
+_PATTERN = brief_pattern()
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+              ) -> jnp.ndarray:
+    H, W = img.shape
+    x0 = jnp.floor(x).astype(jnp.int32).clip(0, W - 2)
+    y0 = jnp.floor(y).astype(jnp.int32).clip(0, H - 2)
+    fx = (x - x0).clip(0.0, 1.0)
+    fy = (y - y0).clip(0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def brief_descriptors(img_blur: jnp.ndarray, uv: jnp.ndarray,
+                      angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF from the *blurred* image -> (K, DESC_WORDS) uint32."""
+    pat = jnp.asarray(_PATTERN)  # (B, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    # rotate both endpoints: (K, B)
+    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
+    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
+    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
+    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
+    cx = uv[:, 0:1]
+    cy = uv[:, 1:2]
+    a = _bilinear(img_blur, cx + x1, cy + y1)
+    b = _bilinear(img_blur, cx + x2, cy + y2)
+    bits = (a < b)  # (K, B)
+    K = bits.shape[0]
+    w = bits.reshape(K, DESC_WORDS, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
+    return jnp.sum(w * weights, axis=-1, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# full extraction
+
+
+@partial(jax.jit, static_argnames=("max_kps", "threshold"))
+def extract_features(img: jnp.ndarray, max_kps: int = 512,
+                     threshold: float = 0.06) -> Features:
+    """Single-scale ORB-style extraction (pyramid handled by caller).
+
+    detect (FAST+NMS) -> select top-K -> orient (centroid) -> describe
+    (rotated BRIEF on blurred image).  One fused jitted graph.
+    """
+    score = nms(fast_score(img, threshold))
+    uv, val, valid, count = select_keypoints(score, max_kps=max_kps)
+    angle = compute_orientations(img, uv)
+    blur = gaussian_blur(img, sigma=2.0)
+    desc = brief_descriptors(blur, uv, angle)
+    desc = jnp.where(valid[:, None], desc, 0)
+    return Features(uv=uv, score=val, angle=jnp.where(valid, angle, 0.0),
+                    desc=desc, valid=valid, count=count)

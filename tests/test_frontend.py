@@ -1,0 +1,208 @@
+"""Frontend tests: FAST detection, NMS, orientation, BRIEF, matching.
+
+Gold strategy (no real dataset fixtures available offline): synthetic
+images with known corner locations; invariance checks (descriptor
+stability under translation; matching under small viewpoint change);
+numeric checks of the +/-1-GEMM Hamming identity vs direct popcount.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.ops.frontend import (
+    brief_descriptors, compute_orientations, extract_features, fast_score,
+    gaussian_blur, image_pyramid, nms, select_keypoints,
+)
+from gslam_tpu.ops.matching import (
+    BITS, hamming_matrix, match_descriptors, unpack_descriptors,
+)
+
+
+def checkerboard(H=96, W=128, sq=16, lo=0.2, hi=0.8):
+    y, x = np.mgrid[0:H, 0:W]
+    img = np.where(((y // sq) + (x // sq)) % 2 == 0, lo, hi)
+    return img.astype(np.float32)
+
+
+def blob_image(rng, H=120, W=160, n=25, r=3):
+    """Random bright square blobs on dark background -> corner-rich."""
+    img = np.full((H, W), 0.1, np.float32)
+    for _ in range(n):
+        cy = rng.integers(10, H - 10)
+        cx = rng.integers(10, W - 10)
+        img[cy - r:cy + r, cx - r:cx + r] = rng.uniform(0.6, 1.0)
+    return img
+
+
+class TestFast:
+    def test_checkerboard_x_junctions_rejected(self):
+        # at an ideal X-junction the circle splits 8 bright / 8 dark —
+        # FAST-9 must NOT fire (needs >= 9 contiguous)
+        img = jnp.asarray(checkerboard())
+        s = np.asarray(nms(fast_score(img, 0.1)))
+        assert (s > 0).sum() == 0
+
+    def test_blob_corners_found(self, rng):
+        # isolated squares expose L-corners (12 dark / 4 bright) -> fire
+        img = jnp.asarray(blob_image(rng, n=20))
+        s = np.asarray(nms(fast_score(img, 0.1)))
+        assert (s > 0).sum() >= 20
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((64, 64), 0.5)
+        assert float(fast_score(img).max()) == 0.0
+
+    def test_gradient_no_corners(self):
+        img = jnp.asarray(np.tile(np.linspace(0, 1, 64, dtype=np.float32),
+                                  (64, 1)))
+        s = fast_score(img, 0.08)
+        assert float(s.max()) == 0.0  # smooth ramp: no 9-contiguous arc
+
+    def test_single_blob_corners(self, rng):
+        img = np.full((64, 64), 0.1, np.float32)
+        img[30:40, 30:40] = 0.9
+        s = np.asarray(nms(fast_score(jnp.asarray(img), 0.1)))
+        ys, xs = np.nonzero(s)
+        assert len(ys) >= 2
+        # detections cluster at the square's corners
+        for y, x in zip(ys, xs):
+            assert min(abs(y - 30), abs(y - 39)) <= 2
+            assert min(abs(x - 30), abs(x - 39)) <= 2
+
+    def test_nms_isolates_maxima(self):
+        s = jnp.zeros((32, 32)).at[10, 10].set(5.0).at[10, 11].set(4.0)
+        out = np.asarray(nms(s))
+        assert out[10, 10] == 5.0 and out[10, 11] == 0.0
+
+    def test_select_keypoints_shapes(self):
+        img = jnp.asarray(checkerboard())
+        uv, val, valid, count = select_keypoints(
+            nms(fast_score(img, 0.1)), max_kps=64)
+        assert uv.shape == (64, 2) and valid.shape == (64,)
+        assert 0 < int(count) <= 64
+        assert bool(jnp.all(val[:int(count)] > 0))
+
+
+class TestOrientation:
+    def test_gradient_patch_orientation(self):
+        # intensity increasing in +x -> centroid to the right -> angle ~ 0
+        img = jnp.asarray(np.tile(np.linspace(0, 1, 64, dtype=np.float32),
+                                  (64, 1)))
+        ang = compute_orientations(img, jnp.asarray([[32.0, 32.0]]))
+        assert abs(float(ang[0])) < 0.05
+        # increasing in +y -> angle ~ pi/2
+        ang2 = compute_orientations(img.T, jnp.asarray([[32.0, 32.0]]))
+        assert abs(float(ang2[0]) - np.pi / 2) < 0.05
+
+
+class TestBrief:
+    def test_translation_invariance(self, rng):
+        img = blob_image(rng)
+        pad = np.full((120, 160), 0.1, np.float32)
+        shift = 7
+        img2 = np.roll(img, (0, shift), (0, 1))
+        b1 = gaussian_blur(jnp.asarray(img))
+        b2 = gaussian_blur(jnp.asarray(img2))
+        uv = jnp.asarray([[60.0, 60.0], [80.0, 40.0]])
+        ang = jnp.zeros(2)
+        d1 = brief_descriptors(b1, uv, ang)
+        d2 = brief_descriptors(b2, uv + jnp.asarray([[shift, 0.0]]), ang)
+        dist = np.diag(np.asarray(hamming_matrix(d1, d2)))
+        assert np.all(dist <= 10)  # near-identical patches
+
+    def test_different_patches_far(self, rng):
+        img = jnp.asarray(blob_image(rng))
+        b = gaussian_blur(img)
+        uv = jnp.asarray([[40.0, 40.0], [120.0, 80.0]])
+        d = brief_descriptors(b, uv, jnp.zeros(2))
+        dist = float(hamming_matrix(d[:1], d[1:])[0, 0])
+        assert dist > 50  # unrelated patches ~ BITS/2
+
+    def test_rotation_changes_sampling(self, rng):
+        img = jnp.asarray(blob_image(rng))
+        b = gaussian_blur(img)
+        uv = jnp.asarray([[60.0, 60.0]])
+        d0 = brief_descriptors(b, uv, jnp.asarray([0.0]))
+        d1 = brief_descriptors(b, uv, jnp.asarray([np.pi / 2]))
+        assert float(hamming_matrix(d0, d1)[0, 0]) > 10
+
+
+class TestHamming:
+    def test_gemm_identity_vs_popcount(self, rng):
+        a = rng.integers(0, 2**64, (20, 8), dtype=np.uint64).astype(np.uint32)
+        b = rng.integers(0, 2**64, (30, 8), dtype=np.uint64).astype(np.uint32)
+        D = np.asarray(hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+        gold = np.zeros((20, 30))
+        for i in range(20):
+            for j in range(30):
+                gold[i, j] = sum(
+                    bin(int(a[i, w]) ^ int(b[j, w])).count("1")
+                    for w in range(8))
+        np.testing.assert_array_equal(D, gold)
+
+    def test_unpack_shape_and_sign(self):
+        d = jnp.asarray(np.array([[1, 0, 0, 0, 0, 0, 0, 0]], np.uint32))
+        u = np.asarray(unpack_descriptors(d), np.float32)
+        assert u.shape == (1, BITS)
+        assert u[0, 0] == 1.0 and np.all(u[0, 1:] == -1.0)
+
+    def test_identical_zero_distance(self, rng):
+        a = rng.integers(0, 2**31, (5, 8)).astype(np.uint32)
+        D = np.asarray(hamming_matrix(jnp.asarray(a), jnp.asarray(a)))
+        assert np.all(np.diag(D) == 0)
+
+
+class TestMatching:
+    def test_self_match(self, rng):
+        desc = jnp.asarray(rng.integers(0, 2**31, (40, 8)).astype(np.uint32))
+        valid = jnp.ones(40, bool)
+        m = match_descriptors(desc, valid, desc, valid, ratio=1.0)
+        # self-matching: everything matches itself at distance 0
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(40))
+        assert int(m.count) == 40
+
+    def test_invalid_masked(self, rng):
+        desc = jnp.asarray(rng.integers(0, 2**31, (10, 8)).astype(np.uint32))
+        va = jnp.ones(10, bool).at[3].set(False)
+        m = match_descriptors(desc, va, desc, va, ratio=1.0)
+        assert not bool(m.valid[3])
+
+    def test_ratio_test_rejects_ambiguous(self, rng):
+        # two identical rows in B -> best == second -> rejected by ratio<1
+        a = rng.integers(0, 2**31, (1, 8)).astype(np.uint32)
+        b = np.concatenate([a, a], 0)
+        m = match_descriptors(jnp.asarray(a), jnp.ones(1, bool),
+                              jnp.asarray(b), jnp.ones(2, bool), ratio=0.9)
+        assert int(m.count) == 0
+
+    def test_end_to_end_synthetic_views(self, rng):
+        """Extract+match two shifted views; most matches = the shift."""
+        img = blob_image(rng, H=128, W=192, n=30)
+        shift = 5
+        img2 = np.roll(img, (0, shift), (0, 1))
+        f1 = extract_features(jnp.asarray(img), max_kps=128, threshold=0.08)
+        f2 = extract_features(jnp.asarray(img2), max_kps=128, threshold=0.08)
+        assert int(f1.count) >= 20
+        m = match_descriptors(f1.desc, f1.valid, f2.desc, f2.valid)
+        assert int(m.count) >= 10
+        duv = (np.asarray(f2.uv)[np.asarray(m.idx)]
+               - np.asarray(f1.uv))[np.asarray(m.valid)]
+        dx = np.median(duv[:, 0])
+        dy = np.median(duv[:, 1])
+        assert abs(dx - shift) < 1.0 and abs(dy) < 1.0
+
+
+class TestPyramid:
+    def test_pyramid_shapes(self):
+        img = jnp.zeros((100, 160))
+        pyr = image_pyramid(img, n_levels=3, scale=2.0)
+        assert pyr[0].shape == (100, 160)
+        assert pyr[1].shape == (50, 80)
+        assert pyr[2].shape == (25, 40)
+
+    def test_blur_preserves_mean(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (64, 64)).astype(np.float32))
+        out = gaussian_blur(img)
+        assert abs(float(out[20:44, 20:44].mean())
+                   - float(img[20:44, 20:44].mean())) < 0.02
