@@ -1,0 +1,129 @@
+"""Synthetic dataset: rendered blob-world sequences with exact GT.
+
+No reference analog (GSLAM ships only real-data players); this dataset
+exists because the build environment has no network access — it is the
+deterministic instrument for end-to-end accuracy gates (ATE on a known
+trajectory) and benchmarking.
+
+World model: N bright square "dots" (stable per-point intensity) on a
+dark background with a mild texture gradient; a camera flies a
+configurable trajectory (orbit / line / ring) and frames are rendered by
+projecting dots and splatting them at integer pixels.  Small dots are
+ideal FAST corners and their neighborhoods give distinctive BRIEF
+descriptors, so the full image frontend is exercised.
+
+A ``.synth`` dataset path is a JSON file:
+    {"n_frames": 60, "n_points": 300, "width": 320, "height": 240,
+     "motion": "orbit", "seed": 3, "fov_deg": 70, "radius": 8.0,
+     "depth": true}
+Registered under extension "synth" (REGISTER_DATASET analog).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from gslam_tpu.app.registry import DATASETS
+from gslam_tpu.core.camera import Camera
+from gslam_tpu.datasets.base import Dataset, FrameData
+
+
+def _pose_cam_to_world(motion: str, i: int, n: int, radius: float):
+    """Returns (R_wc (3,3), t_wc (3,)): camera->world."""
+    if motion == "line":
+        t = np.array([0.08 * i, 0.0, 0.0])
+        yaw = 0.0
+    elif motion == "ring":
+        a = 2 * np.pi * i / n
+        t = np.array([radius * np.sin(a), 0.0, radius * (1 - np.cos(a))])
+        yaw = a
+    else:  # orbit: look at the world center from a circle
+        a = 2 * np.pi * i / max(n, 1) * 0.5  # half circle
+        t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
+        yaw = a
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    # camera z axis points toward +z world rotated by yaw about y
+    R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+    return R_wc, t
+
+
+class SyntheticDataset(Dataset):
+    def __init__(self, **overrides):
+        super().__init__()
+        self.cfg = dict(n_frames=60, n_points=300, width=320, height=240,
+                        motion="orbit", seed=3, fov_deg=70.0, radius=8.0,
+                        depth=True, dot_half=1, world_extent=6.0,
+                        noise=0.0)
+        self.cfg.update(overrides)
+
+    def _open(self, path: str) -> bool:
+        if path and not path.startswith("synth://"):
+            with open(path) as f:
+                self.cfg.update(json.load(f))
+        c = self.cfg
+        rng = np.random.default_rng(c["seed"])
+        e = c["world_extent"]
+        # world points in a slab the orbit looks at
+        self.X = np.stack([
+            rng.uniform(-e, e, c["n_points"]),
+            rng.uniform(-e * 0.6, e * 0.6, c["n_points"]),
+            rng.uniform(-e * 0.5, e * 0.5, c["n_points"])], -1)
+        self.I = rng.uniform(0.55, 1.0, c["n_points"])
+        self.camera = Camera.from_fov(c["width"], c["height"], c["fov_deg"])
+        self.rng = rng
+        return True
+
+    def _length(self) -> int:
+        return self.cfg["n_frames"]
+
+    def _grab(self, idx: int) -> Optional[FrameData]:
+        c = self.cfg
+        if idx >= c["n_frames"]:
+            return None
+        H, W = c["height"], c["width"]
+        R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, c["n_frames"],
+                                        c["radius"])
+        # world -> cam
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        pc = self.X @ R_cw.T + t_cw
+        z = pc[:, 2]
+        front = z > 0.5
+        u = self.camera.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.camera.cx
+        v = self.camera.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.camera.cy
+
+        img = np.zeros((H, W), np.float32)
+        # mild background ramp (keeps auto-exposure-ish realism, below
+        # FAST threshold)
+        img += (0.08 + 0.04 * np.linspace(0, 1, W))[None, :]
+        r = c["dot_half"]
+        depth_img = np.zeros((H, W), np.float32) if c["depth"] else None
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        ok = front & (ui >= r + 1) & (ui < W - r - 1) & (vi >= r + 1) \
+            & (vi < H - r - 1)
+        for j in np.nonzero(ok)[0]:
+            img[vi[j] - r:vi[j] + r + 1, ui[j] - r:ui[j] + r + 1] = self.I[j]
+            if depth_img is not None:
+                depth_img[vi[j] - r:vi[j] + r + 1,
+                          ui[j] - r:ui[j] + r + 1] = z[j]
+        if c["noise"] > 0:
+            img = img + self.rng.normal(0, c["noise"], img.shape) \
+                .astype(np.float32)
+        img = img.clip(0.0, 1.0).astype(np.float32)
+
+        from gslam_tpu.core.so3 import matrix_to_quat
+        import jax.numpy as jnp
+
+        q_wc = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))
+        gt = np.concatenate([t_wc, q_wc]).astype(np.float32)
+        return FrameData(id=idx, timestamp=idx / 30.0, image=img,
+                         camera=self.camera, depth=depth_img, gt_pose=gt)
+
+
+@DATASETS.register("synth")
+def _make_synth(**kw) -> SyntheticDataset:
+    return SyntheticDataset(**kw)

@@ -1,0 +1,229 @@
+"""Estimation tests: batched RANSAC F/E/H/PnP/SIM3/affine/plane +
+triangulation, on synthetic scenes with known ground truth and injected
+outliers.  Mirrors the reference Estimator's behavioral contract
+(inlier masks + model recovery) — GSLAM/core/Estimator.h.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.core.se3 import (se3_apply, se3_inverse, se3_make, se3_mul,
+                                se3_to_matrix)
+from gslam_tpu.core.sim3 import sim3_apply, sim3_make
+from gslam_tpu.core.so3 import quat_to_matrix, so3_exp
+from gslam_tpu.estimation import (
+    decompose_essential, essential_from_rt, find_affine3d, find_essential,
+    find_fundamental, find_homography, find_plane, find_pnp_ransac,
+    find_sim3, ransac_sample_indices, triangulate, umeyama_alignment,
+)
+from gslam_tpu.estimation.epipolar import sampson_distance
+
+
+def make_scene(rng, n=100, outlier_frac=0.3):
+    """3D points + two poses + normalized projections with outliers."""
+    X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                  rng.uniform(4, 10, n)], -1).astype(np.float32)
+    # cam1 at origin; cam2 translated+rotated (world -> cam transforms)
+    phi = np.array([0.03, -0.2, 0.02], np.float32)
+    t = np.array([1.0, 0.1, 0.05], np.float32)
+    q = np.asarray(so3_exp(jnp.asarray(phi)))
+    T1 = np.asarray(se3_make(jnp.zeros(3), jnp.asarray([1, 0, 0, 0.0])))
+    T2 = np.asarray(se3_make(jnp.asarray(t), jnp.asarray(q)))
+
+    def proj(T, X):
+        pc = np.asarray(se3_apply(jnp.asarray(T), jnp.asarray(X)))
+        return pc[:, :2] / pc[:, 2:3]
+
+    r1 = proj(T1, X)
+    r2 = proj(T2, X)
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    r2_noisy = r2.copy()
+    r2_noisy[out_idx] += rng.uniform(0.05, 0.3, (n_out, 2)) \
+        * rng.choice([-1, 1], (n_out, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return dict(X=X, T1=T1, T2=T2, r1=r1, r2=r2, r2_noisy=r2_noisy,
+                inlier_gt=inlier_gt)
+
+
+class TestSampling:
+    def test_no_collisions_and_valid_only(self, key):
+        valid = jnp.zeros(50, bool).at[jnp.arange(0, 50, 2)].set(True)
+        idx = np.asarray(ransac_sample_indices(key, valid, B=64, k=8))
+        assert idx.shape == (64, 8)
+        for row in idx:
+            assert len(set(row.tolist())) == 8  # collision-free
+            assert all(i % 2 == 0 for i in row)  # only valid entries
+
+
+class TestEssential:
+    def test_recover_pose(self, rng, key):
+        sc = make_scene(rng)
+        E, inl, n = find_essential(
+            key, jnp.asarray(sc["r1"]), jnp.asarray(sc["r2_noisy"]),
+            jnp.ones(len(sc["r1"]), bool), threshold=1e-6)
+        inl = np.asarray(inl)
+        # inlier set ~ ground-truth inliers
+        assert inl[sc["inlier_gt"]].mean() > 0.9
+        assert inl[~sc["inlier_gt"]].mean() < 0.1
+        # decompose and compare with true relative pose T_21 = T2 * T1^-1
+        T21, score = decompose_essential(
+            E, jnp.asarray(sc["r1"]), jnp.asarray(sc["r2_noisy"]),
+            jnp.asarray(inl))
+        T_gt = se3_mul(jnp.asarray(sc["T2"]),
+                       se3_inverse(jnp.asarray(sc["T1"])))
+        t_gt = np.asarray(T_gt[:3])
+        t_est = np.asarray(T21[:3])
+        cos = abs(np.dot(t_gt, t_est)
+                  / (np.linalg.norm(t_gt) * np.linalg.norm(t_est)))
+        assert cos > 0.995  # translation direction
+        R_err = np.asarray(quat_to_matrix(T21[3:7])).T \
+            @ np.asarray(quat_to_matrix(T_gt[3:7]))
+        assert np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)) < 0.02
+
+    def test_essential_epipolar_constraint(self, rng, key):
+        sc = make_scene(rng, outlier_frac=0.0)
+        E, inl, n = find_essential(
+            key, jnp.asarray(sc["r1"]), jnp.asarray(sc["r2"]),
+            jnp.ones(len(sc["r1"]), bool))
+        d = np.asarray(sampson_distance(
+            E, jnp.asarray(np.concatenate([sc["r1"], sc["r2"]], -1))))
+        assert np.median(d) < 1e-8
+
+    def test_essential_from_rt_consistency(self, rng, key):
+        sc = make_scene(rng, outlier_frac=0.0)
+        T_gt = se3_mul(jnp.asarray(sc["T2"]),
+                       se3_inverse(jnp.asarray(sc["T1"])))
+        E = essential_from_rt(T_gt[3:7], T_gt[:3])
+        d = np.asarray(sampson_distance(
+            E, jnp.asarray(np.concatenate([sc["r1"], sc["r2"]], -1))))
+        assert d.max() < 1e-9
+
+
+class TestFundamental:
+    def test_recover_inliers_pixels(self, rng, key):
+        sc = make_scene(rng)
+        K = np.array([[400.0, 0, 320], [0, 400, 240], [0, 0, 1]],
+                     np.float32)
+
+        def px(r):
+            return r * K[0, 0] + np.array([K[0, 2], K[1, 2]], np.float32)
+
+        F, inl, n = find_fundamental(
+            key, jnp.asarray(px(sc["r1"])), jnp.asarray(px(sc["r2_noisy"])),
+            jnp.ones(len(sc["r1"]), bool), threshold=2.0)
+        inl = np.asarray(inl)
+        assert inl[sc["inlier_gt"]].mean() > 0.85
+        assert inl[~sc["inlier_gt"]].mean() < 0.15
+
+
+class TestHomography:
+    def test_planar_scene(self, rng, key):
+        # planar points -> exact homography between views
+        n = 80
+        Xp = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                       np.full(n, 5.0)], -1).astype(np.float32)
+        sc_t = np.array([0.4, -0.1, 0.2], np.float32)
+        q = np.asarray(so3_exp(jnp.asarray([0.05, 0.1, -0.03])))
+        T2 = se3_make(jnp.asarray(sc_t), jnp.asarray(q))
+        r1 = Xp[:, :2] / Xp[:, 2:3]
+        pc2 = np.asarray(se3_apply(T2, jnp.asarray(Xp)))
+        r2 = pc2[:, :2] / pc2[:, 2:3]
+        r2n = r2.copy()
+        r2n[:20] += 0.1  # 25% outliers
+        H, inl, cnt = find_homography(
+            key, jnp.asarray(r1), jnp.asarray(r2n),
+            jnp.ones(n, bool), threshold=1e-6)
+        inl = np.asarray(inl)
+        assert inl[20:].mean() > 0.9 and inl[:20].mean() < 0.1
+
+
+class TestPnP:
+    def test_recover_pose(self, rng, key):
+        sc = make_scene(rng)
+        T, inl, n = find_pnp_ransac(
+            key, jnp.asarray(sc["X"]), jnp.asarray(sc["r2_noisy"]),
+            jnp.ones(len(sc["X"]), bool), threshold=1e-5)
+        inl = np.asarray(inl)
+        assert inl[sc["inlier_gt"]].mean() > 0.9
+        T_err = se3_mul(T, se3_inverse(jnp.asarray(sc["T2"])))
+        assert np.linalg.norm(np.asarray(T_err[:3])) < 0.01
+        ang = 2 * np.arccos(np.clip(abs(float(T_err[3])), 0, 1))
+        assert ang < 0.01
+
+    def test_clean_data_tight(self, rng, key):
+        sc = make_scene(rng, outlier_frac=0.0)
+        T, inl, n = find_pnp_ransac(
+            key, jnp.asarray(sc["X"]), jnp.asarray(sc["r2"]),
+            jnp.ones(len(sc["X"]), bool))
+        assert int(n) == len(sc["X"])
+        T_err = se3_mul(T, se3_inverse(jnp.asarray(sc["T2"])))
+        assert np.linalg.norm(np.asarray(T_err[:3])) < 1e-3
+
+
+class TestTriangulate:
+    def test_roundtrip(self, rng):
+        sc = make_scene(rng, outlier_frac=0.0)
+        X, d1 = triangulate(jnp.asarray(sc["T1"]), jnp.asarray(sc["T2"]),
+                            jnp.asarray(sc["r1"]), jnp.asarray(sc["r2"]))
+        np.testing.assert_allclose(np.asarray(X), sc["X"], atol=5e-3)
+        assert np.all(np.asarray(d1) > 0)
+
+
+class TestAlignment:
+    def test_umeyama_exact(self, rng):
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        S_gt = sim3_make(jnp.asarray([1.0, -2.0, 0.5]),
+                         so3_exp(jnp.asarray([0.2, -0.1, 0.3])),
+                         jnp.asarray([1.7]))
+        dst = sim3_apply(S_gt, jnp.asarray(src))
+        S = umeyama_alignment(jnp.asarray(src), dst)
+        np.testing.assert_allclose(np.asarray(sim3_apply(S, jnp.asarray(src))),
+                                   np.asarray(dst), atol=1e-4)
+        assert abs(float(S[7]) - 1.7) < 1e-3
+
+    def test_umeyama_no_scale(self, rng):
+        src = rng.normal(size=(50, 3)).astype(np.float32)
+        S = umeyama_alignment(jnp.asarray(src), jnp.asarray(src) * 2.0,
+                              with_scale=False)
+        assert abs(float(S[7]) - 1.0) < 1e-6
+
+    def test_find_sim3_outliers(self, rng, key):
+        src = rng.normal(size=(60, 3)).astype(np.float32)
+        S_gt = sim3_make(jnp.asarray([0.3, 0.1, -0.2]),
+                         so3_exp(jnp.asarray([0.1, 0.2, -0.05])),
+                         jnp.asarray([1.3]))
+        dst = np.array(sim3_apply(S_gt, jnp.asarray(src)))
+        dst[:15] += rng.uniform(0.5, 1.0, (15, 3))
+        S, inl, n = find_sim3(key, jnp.asarray(src), jnp.asarray(dst),
+                              jnp.ones(60, bool), threshold=0.01)
+        inl = np.asarray(inl)
+        assert inl[15:].all() and not inl[:15].any()
+        assert abs(float(S[7]) - 1.3) < 0.01
+
+    def test_find_affine3d(self, rng, key):
+        src = rng.normal(size=(40, 3)).astype(np.float32)
+        M_gt = np.array([[1.1, 0.1, 0, 0.5], [0, 0.9, -0.1, -1.0],
+                         [0.05, 0, 1.2, 2.0]], np.float32)
+        dst = src @ M_gt[:, :3].T + M_gt[:, 3]
+        M, inl, n = find_affine3d(key, jnp.asarray(src), jnp.asarray(dst),
+                                  jnp.ones(40, bool))
+        assert int(n) == 40
+        np.testing.assert_allclose(np.asarray(M), M_gt, atol=1e-3)
+
+    def test_find_plane(self, rng, key):
+        n_pl = 70
+        pts = np.zeros((100, 3), np.float32)
+        pts[:n_pl, 0] = rng.uniform(-2, 2, n_pl)
+        pts[:n_pl, 1] = rng.uniform(-2, 2, n_pl)
+        pts[:n_pl, 2] = 0.5 * pts[:n_pl, 0] - 0.25 * pts[:n_pl, 1] + 2.0
+        pts[n_pl:] = rng.uniform(-3, 3, (30, 3)).astype(np.float32)
+        plane, inl, n = find_plane(key, jnp.asarray(pts),
+                                   jnp.ones(100, bool), threshold=0.01)
+        inl = np.asarray(inl)
+        assert inl[:n_pl].mean() > 0.95
+        # verify plane equation on the planar subset
+        res = np.abs(pts[:n_pl] @ np.asarray(plane[:3]) + float(plane[3]))
+        assert res.max() < 0.02

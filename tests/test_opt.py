@@ -1,0 +1,222 @@
+"""Optimizer tests: BA (analytic Jacobians vs autodiff, noise recovery,
+fixed-block gauges, robust kernel), pose-graph (SE3 + SIM3 loop closure).
+
+The behavioral contract mirrors the reference Optimizer
+(GSLAM/core/Optimizer.h): given a perturbed BundleGraph, optimize() must
+recover the ground truth within noise; fixed flags pin gauge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.core.se3 import (se3_apply, se3_exp, se3_identity,
+                                se3_inverse, se3_make, se3_mul)
+from gslam_tpu.core.sim3 import sim3_from_se3, sim3_mul, sim3_exp
+from gslam_tpu.core.so3 import so3_exp
+from gslam_tpu.opt.ba import (BundleProblem, _project_residual_jac, ba_cost,
+                              bundle_adjust)
+from gslam_tpu.opt.pose_graph import (PoseGraph, optimize_pose_graph,
+                                      pose_graph_cost)
+
+
+def make_ba_problem(rng, C=6, P=60, O=6, pix_noise=0.0, pose_noise=0.0,
+                    point_noise=0.0):
+    """Cameras in a line looking at a point cloud; every point seen by O
+    random cameras."""
+    X = np.stack([rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P),
+                  rng.uniform(5, 9, P)], -1).astype(np.float32)
+    poses = []
+    for c in range(C):
+        t = np.array([0.4 * c, 0.02 * c, 0.0], np.float32)
+        phi = np.array([0.0, 0.03 * c, 0.0], np.float32)
+        poses.append(np.asarray(
+            se3_make(jnp.asarray(t), so3_exp(jnp.asarray(phi)))))
+    poses = np.stack(poses)
+
+    obs_cam = np.stack([rng.permutation(C)[:O] for _ in range(P)]) \
+        .astype(np.int32)
+    pc = np.asarray(se3_apply(jnp.asarray(poses)[obs_cam],
+                              jnp.asarray(X)[:, None]))
+    uv = pc[..., :2] / pc[..., 2:3]
+    uv = uv + rng.normal(0, pix_noise, uv.shape).astype(np.float32)
+
+    gt_poses = poses.copy()
+    gt_X = X.copy()
+    if pose_noise > 0:
+        for c in range(1, C):  # keep cam0 exact (gauge)
+            xi = rng.normal(0, pose_noise, 6).astype(np.float32)
+            poses[c] = np.asarray(se3_mul(se3_exp(jnp.asarray(xi)),
+                                          jnp.asarray(poses[c])))
+    if point_noise > 0:
+        X = X + rng.normal(0, point_noise, X.shape).astype(np.float32)
+
+    fixed_cams = np.zeros(C, bool)
+    fixed_cams[0] = True
+    prob = BundleProblem(
+        cam_pose=jnp.asarray(poses),
+        cam_fixed=jnp.asarray(fixed_cams),
+        point_xyz=jnp.asarray(X),
+        point_fixed=jnp.zeros(P, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(uv),
+        obs_valid=jnp.ones((P, O), bool),
+        obs_weight=jnp.ones((P, O)),
+    )
+    return prob, gt_poses, gt_X
+
+
+class TestJacobians:
+    def test_analytic_vs_autodiff(self, rng):
+        prob, _, _ = make_ba_problem(rng, C=3, P=8, O=3)
+        r, Jc, Jp, valid = _project_residual_jac(prob)
+
+        # autodiff gold for a few (point, obs) pairs
+        def res_one(xi, dx, p, o):
+            pose = se3_mul(se3_exp(xi), prob.cam_pose[prob.obs_cam[p, o]])
+            pc = se3_apply(pose, prob.point_xyz[p] + dx)
+            return pc[:2] / pc[2] - prob.obs_uv[p, o]
+
+        for p, o in [(0, 0), (3, 1), (7, 2)]:
+            Jc_gold = jax.jacfwd(res_one, 0)(jnp.zeros(6), jnp.zeros(3),
+                                             p, o)
+            Jp_gold = jax.jacfwd(res_one, 1)(jnp.zeros(6), jnp.zeros(3),
+                                             p, o)
+            np.testing.assert_allclose(Jc[p, o], Jc_gold, atol=1e-4)
+            np.testing.assert_allclose(Jp[p, o], Jp_gold, atol=1e-4)
+
+
+class TestBA:
+    def test_zero_noise_zero_cost(self, rng):
+        prob, _, _ = make_ba_problem(rng)
+        assert float(ba_cost(prob)) < 1e-8
+
+    def test_recover_from_noise(self, rng):
+        prob, gt_poses, gt_X = make_ba_problem(
+            rng, pose_noise=0.02, point_noise=0.05)
+        c0 = float(ba_cost(prob))
+        out, stats = bundle_adjust(prob, iters=15)
+        c1 = float(ba_cost(out))
+        assert c1 < 1e-7 * max(1.0, c0)  # converged to ~exact data
+        # poses recovered (gauge = cam0 fixed, no scale ambiguity since
+        # translations are observed... monocular scale IS ambiguous, so
+        # compare up to the recovered/gt baseline ratio)
+        t_est = np.asarray(out.cam_pose[:, :3])
+        t_gt = gt_poses[:, :3]
+        s = np.linalg.norm(t_est[1]) / max(np.linalg.norm(t_gt[1]), 1e-9)
+        np.testing.assert_allclose(t_est, t_gt * s, atol=5e-3)
+
+    def test_fixed_blocks_pinned(self, rng):
+        prob, _, _ = make_ba_problem(rng, pose_noise=0.02)
+        prob = prob._replace(point_fixed=jnp.ones(60, bool)
+                             .at[0].set(False))
+        out, _ = bundle_adjust(prob, iters=3)
+        np.testing.assert_array_equal(np.asarray(out.point_xyz[1:]),
+                                      np.asarray(prob.point_xyz[1:]))
+        np.testing.assert_array_equal(np.asarray(out.cam_pose[0]),
+                                      np.asarray(prob.cam_pose[0]))
+
+    def test_cost_monotone_under_accept(self, rng):
+        prob, _, _ = make_ba_problem(rng, pose_noise=0.05,
+                                     point_noise=0.1)
+        out, stats = bundle_adjust(prob, iters=10)
+        costs = np.asarray(stats.cost)
+        assert costs[-1] <= costs[0]
+        assert np.all(np.diff(costs) <= 1e-6)  # never increases
+
+    def test_robust_kernel_downweights_outliers(self, rng):
+        prob, gt_poses, gt_X = make_ba_problem(
+            rng, pose_noise=0.01, point_noise=0.02)
+        # corrupt 5% of measurements badly
+        uv = np.array(prob.obs_uv)
+        uv[:3, :] += 0.5
+        prob = prob._replace(obs_uv=jnp.asarray(uv))
+        out, _ = bundle_adjust(prob, iters=15, huber_delta=0.005)
+        # inlier reprojection should still be tight
+        r, _, _, valid = _project_residual_jac(out)
+        e = np.linalg.norm(np.asarray(r), axis=-1)[3:]
+        assert np.median(e) < 2e-3
+
+    def test_invalid_obs_ignored(self, rng):
+        prob, _, _ = make_ba_problem(rng, pix_noise=0.0)
+        uv = np.array(prob.obs_uv)
+        uv[:, 0] += 99.0  # garbage in slot 0...
+        valid = np.array(prob.obs_valid)
+        valid[:, 0] = False  # ...but masked out
+        prob = prob._replace(obs_uv=jnp.asarray(uv),
+                             obs_valid=jnp.asarray(valid))
+        assert float(ba_cost(prob)) < 1e-8
+
+
+def ring_pose_graph(rng, N=12, drift=0.02, mode="se3"):
+    """Odometry ring with a loop-closure edge; odometry has drift."""
+    gt = [np.asarray(se3_identity())]
+    step = np.asarray(se3_make(
+        jnp.asarray([0.5, 0.0, 0.0]),
+        so3_exp(jnp.asarray([0.0, 0.0, 2 * np.pi / N]))))
+    for i in range(1, N):
+        gt.append(np.asarray(se3_mul(jnp.asarray(step), jnp.asarray(gt[-1]))))
+    gt = np.stack(gt)
+
+    # noisy odometry chain (integrated -> drifting estimates)
+    est = [gt[0]]
+    rels = []
+    for i in range(1, N):
+        Z = se3_mul(jnp.asarray(gt[i]), se3_inverse(jnp.asarray(gt[i - 1])))
+        xi = rng.normal(0, drift, 6).astype(np.float32)
+        Zn = se3_mul(se3_exp(jnp.asarray(xi)), Z)
+        rels.append(np.asarray(Zn))
+        est.append(np.asarray(se3_mul(Zn, jnp.asarray(est[-1]))))
+    est = np.stack(est)
+
+    edge_i = list(range(1, N))
+    edge_j = list(range(0, N - 1))
+    # loop closure: exact relative pose between last and first
+    Zl = se3_mul(jnp.asarray(gt[N - 1]), se3_inverse(jnp.asarray(gt[0])))
+    edge_i.append(N - 1)
+    edge_j.append(0)
+    rels.append(np.asarray(Zl))
+
+    poses = est
+    rel = np.stack(rels)
+    if mode == "sim3":
+        poses = np.asarray(sim3_from_se3(jnp.asarray(poses)))
+        rel = np.asarray(sim3_from_se3(jnp.asarray(rel)))
+    g = PoseGraph(
+        poses=jnp.asarray(poses),
+        fixed=jnp.zeros(N, bool).at[0].set(True),
+        edge_i=jnp.asarray(edge_i, jnp.int32),
+        edge_j=jnp.asarray(edge_j, jnp.int32),
+        edge_rel=jnp.asarray(rel),
+        edge_valid=jnp.ones(N, bool),
+        edge_weight=jnp.ones(N).at[-1].set(100.0),  # strong loop edge
+    )
+    return g, gt
+
+
+class TestPoseGraph:
+    def test_cost_zero_on_consistent(self, rng):
+        g, gt = ring_pose_graph(rng, drift=0.0)
+        assert float(pose_graph_cost(g)) < 1e-8
+
+    def test_loop_closure_reduces_drift(self, rng):
+        g, gt = ring_pose_graph(rng, N=12, drift=0.03)
+        # drifted endpoint error before
+        err0 = np.linalg.norm(np.asarray(g.poses[-1, :3]) - gt[-1, :3])
+        out, costs = optimize_pose_graph(g, iters=15)
+        err1 = np.linalg.norm(np.asarray(out.poses[-1, :3]) - gt[-1, :3])
+        assert float(costs[-1]) < float(costs[0]) * 0.05
+        assert err1 < err0 * 0.5
+
+    def test_fixed_node_unmoved(self, rng):
+        g, _ = ring_pose_graph(rng, drift=0.03)
+        out, _ = optimize_pose_graph(g, iters=5)
+        np.testing.assert_array_equal(np.asarray(out.poses[0]),
+                                      np.asarray(g.poses[0]))
+
+    def test_sim3_mode(self, rng):
+        g, gt = ring_pose_graph(rng, N=10, drift=0.02, mode="sim3")
+        out, costs = optimize_pose_graph(g, mode="sim3", iters=15)
+        assert float(costs[-1]) < float(costs[0]) * 0.1
+        # scales stay near 1 (no scale drift injected)
+        assert np.allclose(np.asarray(out.poses[:, 7]), 1.0, atol=0.05)
