@@ -1,0 +1,151 @@
+"""EuRoC MAV dataset player (reference DatasetEuRoC analog).
+
+Format (public EuRoC ASL layout under <seq>/mav0/):
+    cam0/data.csv            "#timestamp [ns],filename"
+    cam0/data/<ts>.png       gray images
+    cam0/sensor.yaml         intrinsics (pinhole + radtan), T_BS
+    cam1/...                 right camera
+    imu0/data.csv            "ts,wx,wy,wz,ax,ay,az"
+    state_groundtruth_estimate0/data.csv  "ts,px,py,pz,qw,qx,qy,qz,..."
+A ``.euroc`` path selects this player; the stem is the sequence dir
+(either the dir containing mav0/ or mav0/ itself).
+
+The sensor.yaml is parsed with a minimal line parser (no yaml dep):
+``intrinsics: [fu, fv, cu, cv]``, ``distortion_coefficients: [...]``,
+``resolution: [W, H]``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from gslam_tpu.app.registry import DATASETS
+from gslam_tpu.core.camera import Camera
+from gslam_tpu.core.image import to_gray_f32
+from gslam_tpu.datasets.base import Dataset, FrameData
+
+
+def _yaml_list(text: str, key: str) -> Optional[List[float]]:
+    m = re.search(rf"{key}:\s*\[([^\]]*)\]", text)
+    if not m:
+        return None
+    return [float(x) for x in m.group(1).split(",")]
+
+
+def _load_cam(cam_dir: str) -> Tuple[Optional[Camera], List[Tuple[int, str]]]:
+    data_csv = os.path.join(cam_dir, "data.csv")
+    if not os.path.isfile(data_csv):
+        return None, []
+    entries = []
+    with open(data_csv) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts, name = line.split(",")[:2]
+            entries.append((int(ts), name.strip()))
+    cam = None
+    ypath = os.path.join(cam_dir, "sensor.yaml")
+    if os.path.isfile(ypath):
+        text = open(ypath).read()
+        intr = _yaml_list(text, "intrinsics")
+        res = _yaml_list(text, "resolution") or [752, 480]
+        dist = _yaml_list(text, "distortion_coefficients") or [0, 0, 0, 0]
+        if intr:
+            k = list(dist) + [0.0] * (5 - len(dist))
+            cam = Camera.opencv(int(res[0]), int(res[1]), intr[0], intr[1],
+                                intr[2], intr[3], *k[:5])
+    return cam, entries
+
+
+class EuRoCDataset(Dataset):
+    def _open(self, path: str) -> bool:
+        root = path[:-len(".euroc")] if path.endswith(".euroc") else path
+        if os.path.isdir(os.path.join(root, "mav0")):
+            root = os.path.join(root, "mav0")
+        cam0 = os.path.join(root, "cam0")
+        self.cam, self.entries = _load_cam(cam0)
+        if not self.entries:
+            return False
+        if self.cam is None:
+            self.cam = Camera.from_fov(752, 480, 80.0)
+        self.root = root
+        self.cam1, self.entries1 = _load_cam(os.path.join(root, "cam1"))
+        self.t1 = np.asarray([t for t, _ in self.entries1], np.int64)
+
+        # IMU
+        self.imu = np.zeros((0, 7))
+        ipath = os.path.join(root, "imu0", "data.csv")
+        if os.path.isfile(ipath):
+            rows = []
+            with open(ipath) as f:
+                for line in f:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    v = [float(x) for x in line.split(",")]
+                    # csv: ts, wx, wy, wz, ax, ay, az -> ours
+                    # [t_s, ax, ay, az, wx, wy, wz]
+                    rows.append([v[0] * 1e-9, v[4], v[5], v[6],
+                                 v[1], v[2], v[3]])
+            self.imu = np.asarray(rows)
+
+        # ground truth
+        self.gt_ts = np.zeros(0)
+        self.gt_poses = np.zeros((0, 7), np.float32)
+        gpath = os.path.join(root, "state_groundtruth_estimate0", "data.csv")
+        if os.path.isfile(gpath):
+            ts, poses = [], []
+            with open(gpath) as f:
+                for line in f:
+                    if line.startswith("#") or not line.strip():
+                        continue
+                    v = [float(x) for x in line.split(",")]
+                    ts.append(v[0] * 1e-9)
+                    # csv: px py pz qw qx qy qz -> ours [t, q wxyz]
+                    poses.append([v[1], v[2], v[3], v[4], v[5], v[6], v[7]])
+            self.gt_ts = np.asarray(ts)
+            self.gt_poses = np.asarray(poses, np.float32)
+        return True
+
+    def _length(self) -> int:
+        return len(self.entries)
+
+    def _grab(self, idx: int) -> Optional[FrameData]:
+        if idx >= len(self.entries):
+            return None
+        from PIL import Image
+
+        ts_ns, name = self.entries[idx]
+        t = ts_ns * 1e-9
+        img = to_gray_f32(np.asarray(Image.open(
+            os.path.join(self.root, "cam0", "data", name))))
+        right = None
+        if len(self.t1):
+            j = int(np.argmin(np.abs(self.t1 - ts_ns)))
+            if abs(self.t1[j] - ts_ns) < 2_000_000:  # 2 ms
+                right = to_gray_f32(np.asarray(Image.open(os.path.join(
+                    self.root, "cam1", "data", self.entries1[j][1]))))
+        gt = None
+        if len(self.gt_ts):
+            j = int(np.argmin(np.abs(self.gt_ts - t)))
+            if abs(self.gt_ts[j] - t) <= 0.02:
+                gt = self.gt_poses[j]
+        # IMU window since previous frame
+        imu = None
+        if len(self.imu):
+            t_prev = self.entries[idx - 1][0] * 1e-9 if idx > 0 else t - 0.05
+            sel = (self.imu[:, 0] > t_prev) & (self.imu[:, 0] <= t)
+            imu = self.imu[sel]
+        return FrameData(id=idx, timestamp=t, image=img, camera=self.cam,
+                         image_right=right, camera_right=self.cam1,
+                         stereo_baseline=0.11,  # nominal EuRoC baseline
+                         gt_pose=gt, imu=imu)
+
+
+@DATASETS.register("euroc")
+def _make_euroc() -> EuRoCDataset:
+    return EuRoCDataset()

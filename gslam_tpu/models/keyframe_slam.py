@@ -1,0 +1,370 @@
+"""Full keyframe SLAM: track vs local map, keyframe mapping, local BA.
+
+BASELINE configs #2-#4.  The architecture inverts the reference's
+3-thread SLAM plugin layout (tracking / local-mapping / loop-closing
+threads over a mutex-guarded map — SURVEY 3.2-3.4) into a sequential
+host loop over jitted device stages sharing one arena pytree:
+
+  track:   extract -> match against the local-map point set (GEMM
+           Hamming) -> PnP RANSAC + GN refine      [jit, static shapes]
+  map:     keyframe promotion (host decision on scalars) -> insert
+           frame, create points from depth or two-view triangulation,
+           add observations                         [jit]
+  backend: local BA over the covisibility window (Schur LM)   [jit]
+  loop:    BoW-style loop detection + SIM3 verify + pose graph
+           (gslam_tpu.ops.vocab + opt.pose_graph), invoked periodically.
+
+The local map handed to tracking is a fixed-size point slab (ids, xyz,
+descriptors) gathered from the covisibility neighborhood of the last
+keyframe — shape-stable, so the tracking step compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.app.registry import SLAMS
+from gslam_tpu.core.camera import Camera
+from gslam_tpu.core.se3 import (se3_apply, se3_identity, se3_inverse,
+                                se3_mul)
+from gslam_tpu.core.sim3 import sim3_from_se3
+from gslam_tpu.datasets.base import FrameData
+from gslam_tpu.estimation.pnp import find_pnp_ransac, pnp_reproj_error
+from gslam_tpu.estimation.epipolar import (decompose_essential,
+                                           find_essential, triangulate)
+from gslam_tpu.map.arena import (MapArena, add_observations,
+                                 covisibility_topk, frame_point_ids,
+                                 insert_frame, insert_points, make_arena)
+from gslam_tpu.models.odometry import FrameToFrameOdometry
+from gslam_tpu.ops.frontend import Features, extract_features
+from gslam_tpu.ops.matching import match_descriptors
+from gslam_tpu.opt.ba import (build_problem_from_arena, bundle_adjust,
+                              write_back_to_arena)
+from gslam_tpu.utils.timer import timer
+
+
+@dataclasses.dataclass
+class SLAMConfig:
+    max_kps: int = 512
+    fast_threshold: float = 0.06
+    local_map_size: int = 2048     # point slab handed to tracking
+    ba_window: int = 8             # covisible KFs in local BA
+    ba_points: int = 1024
+    ba_iters: int = 6
+    ba_obs_per_point: int = 8
+    kf_min_inlier_frac: float = 0.6  # promote KF when tracking weakens
+    kf_min_gap: int = 3
+    kf_max_gap: int = 20
+    match_max_dist: float = 64.0
+    pnp_threshold: float = 2e-5
+    min_track_inliers: int = 10
+    cap_frames: int = 256
+    cap_points: int = 16384
+    cap_obs: int = 65536
+    seed: int = 0
+
+
+class KeyframeSLAM:
+    """Reference 'SLAM' plugin contract: valid() / track(frame) / map."""
+
+    def __init__(self, camera: Camera, config: Optional[SLAMConfig] = None):
+        self.camera = camera
+        self.cfg = config or SLAMConfig()
+        c = self.cfg
+        self.arena: MapArena = make_arena(
+            cap_frames=c.cap_frames, cap_kps=c.max_kps,
+            cap_points=c.cap_points, cap_obs=c.cap_obs)
+        self.key = jax.random.PRNGKey(c.seed)
+        self.pose_wc = se3_identity()      # current cam->world
+        self.last_kf_id: int = -1
+        self.frames_since_kf = 0
+        self.initialized = False
+        self.trajectory: List[np.ndarray] = []
+        self.timestamps: List[float] = []
+        self.stats: List[dict] = []
+        self._prev_feats: Optional[Features] = None
+        self._prev_frame: Optional[FrameData] = None
+
+    # ------------------------------------------------------------------
+    def valid(self) -> bool:
+        return True
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def track(self, frame: FrameData) -> np.ndarray:
+        c = self.cfg
+        with timer.section("slam/extract"):
+            feats = extract_features(jnp.asarray(frame.image),
+                                     max_kps=c.max_kps,
+                                     threshold=c.fast_threshold)
+            timer.block(feats)
+
+        n_inliers = 0
+        n_matches = 0
+        if not self.initialized:
+            self._initialize(frame, feats)
+        else:
+            pose_cw, n_matches, n_inliers = self._track_local_map(feats)
+            if n_inliers >= c.min_track_inliers:
+                self.pose_wc = se3_inverse(pose_cw)
+                self.frames_since_kf += 1
+                if self._need_keyframe(n_inliers, n_matches):
+                    self._insert_keyframe(frame, feats, pose_cw)
+            else:
+                # tracking weak: fall back to keyframe insertion to
+                # re-anchor (reference: relocalization would go here)
+                self._insert_keyframe(frame, feats,
+                                      se3_inverse(self.pose_wc))
+
+        self._prev_feats = feats
+        self._prev_frame = frame
+        self.trajectory.append(np.asarray(self.pose_wc))
+        self.timestamps.append(frame.timestamp)
+        self.stats.append({
+            "n_features": int(feats.count), "n_matches": n_matches,
+            "n_inliers": n_inliers, "n_kf": int(self.arena.n_frames),
+            "n_points": int(self.arena.n_points)})
+        return np.asarray(self.pose_wc)
+
+    # ------------------------------------------------------------------
+    def _initialize(self, frame: FrameData, feats: Features) -> None:
+        """Map bootstrap: depth-based if depth exists, else two-view."""
+        if frame.depth is not None:
+            pose_cw = se3_inverse(self.pose_wc)
+            self._insert_keyframe(frame, feats, pose_cw, run_ba=False)
+            self.initialized = int(self.arena.n_points) > 20
+            return
+        # mono: needs previous frame for two-view init
+        if self._prev_feats is None:
+            return
+        m = match_descriptors(self._prev_feats.desc, self._prev_feats.valid,
+                              feats.desc, feats.valid)
+        if int(m.count) < 30:
+            return
+        rays1 = self.camera.unproject(self._prev_feats.uv)[:, :2]
+        rays2 = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
+        E, inl, n = find_essential(self._next_key(), rays1, rays2,
+                                   m.valid, threshold=2e-6)
+        if int(n) < 20:
+            return
+        T21, _ = decompose_essential(E, rays1, rays2, inl)
+        # fix scale: unit baseline
+        I7 = se3_identity()
+        X, d1 = triangulate(I7, T21, rays1, rays2)
+        good = inl & (d1 > 0.1) & (d1 < 100.0)
+        # insert kf0 (identity) and kf1 (T21) with triangulated points
+        prev_frame = self._prev_frame
+        kf0 = self._insert_frame_only(prev_frame, self._prev_feats, I7)
+        arena, pids = insert_points(
+            self.arena, X, self._prev_feats.desc, good,
+            ref_frame=kf0)
+        arena = add_observations(arena, kf0, pids,
+                                 jnp.arange(self.cfg.max_kps), good)
+        self.arena = arena
+        kf1 = self._insert_frame_only(frame, feats, T21)
+        self.arena = add_observations(self.arena, kf1, pids,
+                                      m.idx.clip(0), good & m.valid)
+        self.pose_wc = se3_inverse(T21)
+        self.last_kf_id = int(kf1)
+        self.initialized = True
+
+    # ------------------------------------------------------------------
+    def _local_map_slab(self):
+        """Fixed-size (ids, xyz, desc, valid) from the covisibility
+        neighborhood of the last keyframe."""
+        c = self.cfg
+        ids = frame_point_ids(self.arena, jnp.asarray(self.last_kf_id),
+                              c.local_map_size)
+        nbr, _ = covisibility_topk(self.arena,
+                                   jnp.asarray(self.last_kf_id),
+                                   k=min(c.ba_window,
+                                         self.arena.cap_frames - 1),
+                                   min_common=5)
+        # union: own points first, then neighbors' (dedup via sort+mask)
+        all_ids = [ids]
+        for i in range(nbr.shape[0]):
+            all_ids.append(jnp.where(
+                nbr[i] >= 0,
+                frame_point_ids(self.arena, nbr[i].clip(0),
+                                c.local_map_size), -1))
+        cat = jnp.concatenate(all_ids)
+        srt = jnp.sort(cat)
+        uniq = jnp.where((srt != jnp.roll(srt, 1)) | (jnp.arange(
+            srt.shape[0]) == 0), srt, -1)
+        uniq = jnp.sort(uniq)[::-1][:c.local_map_size]  # biggest first
+        ok = uniq >= 0
+        slab_ids = uniq.clip(0)
+        xyz = self.arena.point_xyz[slab_ids]
+        desc = self.arena.point_desc[slab_ids]
+        valid = ok & self.arena.point_valid[slab_ids]
+        return slab_ids, xyz, desc, valid
+
+    def _track_local_map(self, feats: Features):
+        c = self.cfg
+        with timer.section("slam/local_map"):
+            slab_ids, xyz, desc, valid = self._local_map_slab()
+            timer.block(valid)
+        with timer.section("slam/match"):
+            m = match_descriptors(desc, valid, feats.desc, feats.valid,
+                                  max_dist=c.match_max_dist)
+            timer.block(m)
+        n_matches = int(m.count)
+        rays = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
+        with timer.section("slam/pnp"):
+            T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays,
+                                        m.valid, threshold=c.pnp_threshold)
+            timer.block(T)
+        self._last_track = (slab_ids, m, inl)
+        return T, n_matches, int(n)
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, n_inliers: int, n_matches: int) -> bool:
+        c = self.cfg
+        if self.frames_since_kf < c.kf_min_gap:
+            return False
+        if self.frames_since_kf >= c.kf_max_gap:
+            return True
+        ref = max(n_matches, 1)
+        return (n_inliers / ref) < c.kf_min_inlier_frac or \
+            n_inliers < 2 * c.min_track_inliers
+
+    def _insert_frame_only(self, frame: FrameData, feats: Features,
+                           pose_cw) -> int:
+        kp_meta = jnp.stack([feats.score, feats.angle,
+                             jnp.zeros_like(feats.score),
+                             jnp.zeros_like(feats.score)], -1)
+        depth = jnp.zeros((self.cfg.max_kps,))
+        if frame.depth is not None:
+            xi = feats.uv[:, 0].astype(jnp.int32).clip(
+                0, frame.depth.shape[1] - 1)
+            yi = feats.uv[:, 1].astype(jnp.int32).clip(
+                0, frame.depth.shape[0] - 1)
+            depth = jnp.asarray(frame.depth)[yi, xi]
+        self.arena, fid = insert_frame(
+            self.arena, sim3_from_se3(pose_cw), frame.timestamp,
+            feats.uv, kp_meta, feats.desc, feats.count, kp_depth=depth)
+        return int(fid)
+
+    def _insert_keyframe(self, frame: FrameData, feats: Features,
+                         pose_cw, run_ba: bool = True) -> None:
+        c = self.cfg
+        with timer.section("slam/keyframe"):
+            fid = self._insert_frame_only(frame, feats, pose_cw)
+            if fid < 0:
+                return
+            # 1. observations of tracked existing points
+            matched_kp_mask = jnp.zeros((c.max_kps,), bool)
+            if self.initialized and hasattr(self, "_last_track"):
+                slab_ids, m, inl = self._last_track
+                obs_ok = m.valid & inl
+                self.arena = add_observations(
+                    self.arena, fid, jnp.where(obs_ok, slab_ids, -1),
+                    m.idx.clip(0), obs_ok)
+                matched_kp_mask = matched_kp_mask.at[m.idx.clip(0)].set(
+                    obs_ok)
+            # 2. new points from depth for unmatched keypoints
+            if frame.depth is not None:
+                xi = feats.uv[:, 0].astype(jnp.int32).clip(
+                    0, frame.depth.shape[1] - 1)
+                yi = feats.uv[:, 1].astype(jnp.int32).clip(
+                    0, frame.depth.shape[0] - 1)
+                d = jnp.asarray(frame.depth)[yi, xi]
+                newok = (feats.valid & ~matched_kp_mask & (d > 1e-3)
+                         & jnp.isfinite(d))
+                rays3 = self.camera.unproject(feats.uv)
+                pts_cam = rays3 / rays3[:, 2:3] * d[:, None]
+                pose_wc = se3_inverse(pose_cw)
+                pts_w = se3_apply(pose_wc, pts_cam)
+                self.arena, pids = insert_points(
+                    self.arena, pts_w, feats.desc, newok, ref_frame=fid)
+                self.arena = add_observations(
+                    self.arena, fid, pids,
+                    jnp.arange(c.max_kps), newok)
+            elif self.initialized:
+                self._triangulate_new_points(fid, feats, pose_cw)
+        self.last_kf_id = fid
+        self.frames_since_kf = 0
+        if run_ba and int(self.arena.n_frames) >= 2:
+            self._local_ba()
+
+    def _triangulate_new_points(self, fid: int, feats: Features,
+                                pose_cw) -> None:
+        """Mono mapping: triangulate unmatched kps vs the previous KF."""
+        c = self.cfg
+        prev_kf = self.last_kf_id
+        if prev_kf < 0:
+            return
+        prev_desc = self.arena.frame_desc[prev_kf]
+        prev_uv = self.arena.frame_kp_uv[prev_kf]
+        prev_valid = jnp.arange(c.max_kps) < self.arena.frame_kp_count[
+            prev_kf]
+        m = match_descriptors(prev_desc, prev_valid, feats.desc,
+                              feats.valid)
+        T_prev = self.arena.frame_pose[prev_kf][:7]
+        rays1 = self.camera.unproject(prev_uv)[:, :2]
+        rays2 = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
+        X, d1 = triangulate(T_prev, pose_cw, rays1, rays2)
+        d2 = se3_apply(pose_cw, X)[:, 2]
+        good = m.valid & (d1 > 0.05) & (d2 > 0.05) & (d1 < 1e3)
+        self.arena, pids = insert_points(self.arena, X, feats.desc[
+            m.idx.clip(0)], good, ref_frame=fid)
+        self.arena = add_observations(self.arena, prev_kf, pids,
+                                      jnp.arange(c.max_kps), good)
+        self.arena = add_observations(self.arena, fid, pids,
+                                      m.idx.clip(0), good)
+
+    # ------------------------------------------------------------------
+    def _local_ba(self) -> None:
+        c = self.cfg
+        with timer.section("slam/local_ba"):
+            kf = jnp.asarray(self.last_kf_id)
+            nbr, _ = covisibility_topk(self.arena, kf,
+                                       k=c.ba_window - 1, min_common=5)
+            cam_ids = jnp.concatenate([kf[None], nbr])[:c.ba_window]
+            cam_ids = cam_ids.astype(jnp.int32)
+            # points of the window = the last kf's points + neighbors'
+            pts = [frame_point_ids(self.arena, kf, c.ba_points)]
+            for i in range(nbr.shape[0]):
+                pts.append(jnp.where(
+                    nbr[i] >= 0,
+                    frame_point_ids(self.arena, nbr[i].clip(0),
+                                    c.ba_points), -1))
+            cat = jnp.sort(jnp.concatenate(pts))
+            uniq = jnp.where((cat != jnp.roll(cat, 1))
+                             | (jnp.arange(cat.shape[0]) == 0), cat, -1)
+            point_ids = jnp.sort(uniq)[::-1][:c.ba_points].astype(jnp.int32)
+            # fix the oldest KF in the window (gauge); also fix kf 0
+            fixed = jnp.zeros((c.ba_window,), bool)
+            oldest = jnp.argmin(jnp.where(cam_ids >= 0, cam_ids,
+                                          jnp.iinfo(jnp.int32).max))
+            fixed = fixed.at[oldest].set(True)
+            fixed = fixed | (cam_ids == 0)
+            problem, _ = build_problem_from_arena(
+                self.arena, cam_ids, point_ids, fixed, self.camera,
+                max_obs_per_point=c.ba_obs_per_point)
+            problem, stats = bundle_adjust(problem, iters=c.ba_iters)
+            self.arena = write_back_to_arena(self.arena, problem, cam_ids,
+                                             point_ids)
+            timer.block(self.arena)
+        # refresh current pose from the optimized last KF
+        self.pose_wc = se3_inverse(self.arena.frame_pose[
+            self.last_kf_id][:7])
+
+    # -- evaluation helpers -------------------------------------------------
+    def positions(self) -> np.ndarray:
+        return np.stack([p[:3] for p in self.trajectory]) \
+            if self.trajectory else np.zeros((0, 3))
+
+
+@SLAMS.register("keyframe")
+def _make_keyframe_slam(camera: Camera, **kw) -> KeyframeSLAM:
+    cfg = SLAMConfig(**kw) if kw else None
+    return KeyframeSLAM(camera, cfg)

@@ -1,0 +1,260 @@
+"""Dataset loader tests (tiny generated fixtures per format — mirrors the
+reference's open-by-extension dispatch tests, SURVEY section 4) and
+evaluation-harness tests (association, alignment, ATE/RPE).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gslam_tpu.app.registry import DATASETS, open_dataset
+from gslam_tpu.datasets import (Dataset, DatasetPlayer, FrameData)
+from gslam_tpu.datasets.base import EOS_TOPIC, FRAME_TOPIC
+from gslam_tpu.app.messenger import Messenger
+from gslam_tpu.eval import ate_rmse, associate, evaluate_trajectory
+
+
+def write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+class TestSynthetic:
+    def test_open_by_extension(self, tmp_path):
+        cfg = tmp_path / "tiny.synth"
+        cfg.write_text(json.dumps({"n_frames": 5, "n_points": 50,
+                                   "width": 160, "height": 120}))
+        ds = open_dataset(str(cfg))
+        assert ds.is_opened() and len(ds) == 5
+        fr = ds.grab_frame()
+        assert isinstance(fr, FrameData)
+        assert fr.image.shape == (120, 160)
+        assert fr.image.dtype == np.float32
+        assert fr.gt_pose is not None and fr.gt_pose.shape == (7,)
+        assert fr.depth is not None
+        frames = list(ds)
+        assert len(frames) == 4  # remaining
+
+    def test_gt_trajectory_consistent(self, tmp_path):
+        cfg = tmp_path / "t.synth"
+        cfg.write_text(json.dumps({"n_frames": 10, "motion": "line"}))
+        ds = open_dataset(str(cfg))
+        ts = [ds.grab_frame().gt_pose[:3] for _ in range(10)]
+        ts = np.stack(ts)
+        # line motion: x increases uniformly
+        dx = np.diff(ts[:, 0])
+        assert np.allclose(dx, dx[0], atol=1e-6) and dx[0] > 0
+
+    def test_dots_visible(self, tmp_path):
+        cfg = tmp_path / "t.synth"
+        cfg.write_text(json.dumps({"n_frames": 2, "n_points": 200}))
+        ds = open_dataset(str(cfg))
+        fr = ds.grab_frame()
+        assert (fr.image > 0.5).sum() > 50  # dots rendered
+
+
+class TestTUMRGBD:
+    @pytest.fixture
+    def seq(self, tmp_path, rng):
+        root = tmp_path / "fr1_tiny"
+        (root / "rgb").mkdir(parents=True)
+        (root / "depth").mkdir()
+        rgb_lines = ["# rgb"]
+        d_lines = ["# depth"]
+        gt_lines = ["# gt"]
+        for i in range(4):
+            t = 1000.0 + i * 0.05
+            img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+            write_png(root / "rgb" / f"{t:.6f}.png", img)
+            rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+            d16 = (rng.uniform(0, 3, (48, 64)) * 5000).astype(np.uint16)
+            write_png(root / "depth" / f"{t + 0.01:.6f}.png", d16)
+            d_lines.append(f"{t + 0.01:.6f} depth/{t + 0.01:.6f}.png")
+            gt_lines.append(
+                f"{t:.6f} {0.1 * i} 0 0 0 0 0 1")  # tx.. qx qy qz qw
+        (root / "rgb.txt").write_text("\n".join(rgb_lines))
+        (root / "depth.txt").write_text("\n".join(d_lines))
+        (root / "groundtruth.txt").write_text("\n".join(gt_lines))
+        return str(root)
+
+    def test_parse(self, seq):
+        ds = DATASETS.create("tumrgbd")
+        assert ds.open(seq + ".tumrgbd") or ds.open(seq)
+        assert len(ds) == 4
+        fr = ds.grab_frame()
+        assert fr.image.shape == (48, 64)
+        assert fr.depth is not None and fr.depth.max() <= 3.1
+        assert fr.gt_pose is not None
+        # quaternion reordered to [t, qw qx qy qz]
+        np.testing.assert_allclose(fr.gt_pose[3:], [1, 0, 0, 0])
+        assert fr.camera.model == "opencv"
+
+
+class TestKITTI:
+    @pytest.fixture
+    def seq(self, tmp_path, rng):
+        root = tmp_path / "00"
+        (root / "image_0").mkdir(parents=True)
+        (root / "image_1").mkdir()
+        for i in range(3):
+            for sub in ("image_0", "image_1"):
+                img = rng.integers(0, 255, (40, 120), np.uint8)
+                write_png(root / sub / f"{i:06d}.png", img)
+        (root / "times.txt").write_text("\n".join(
+            f"{i * 0.1:.6e}" for i in range(3)))
+        fx = 100.0
+        P0 = f"P0: {fx} 0 60 0 0 {fx} 20 0 0 0 1 0"
+        P1 = f"P1: {fx} 0 60 {-fx * 0.5} 0 {fx} 20 0 0 0 1 0"
+        (root / "calib.txt").write_text(P0 + "\n" + P1 + "\n")
+        poses = []
+        for i in range(3):
+            poses.append("1 0 0 {} 0 1 0 0 0 0 1 0".format(0.5 * i))
+        (root / "poses.txt").write_text("\n".join(poses))
+        return str(root)
+
+    def test_parse(self, seq):
+        ds = open_dataset(seq + ".kitti")
+        assert len(ds) == 3
+        fr = ds.grab_frame()
+        assert fr.image.shape == (40, 120)
+        assert fr.image_right is not None
+        assert abs(fr.stereo_baseline - 0.5) < 1e-6
+        assert fr.gt_pose is not None
+        np.testing.assert_allclose(fr.gt_pose[:3], [0, 0, 0], atol=1e-6)
+        fr2 = ds.grab_frame()
+        np.testing.assert_allclose(fr2.gt_pose[:3], [0.5, 0, 0], atol=1e-5)
+
+
+class TestEuRoC:
+    @pytest.fixture
+    def seq(self, tmp_path, rng):
+        root = tmp_path / "MH_tiny" / "mav0"
+        (root / "cam0" / "data").mkdir(parents=True)
+        (root / "imu0").mkdir()
+        (root / "state_groundtruth_estimate0").mkdir()
+        lines = ["#timestamp [ns],filename"]
+        for i in range(3):
+            ts = 1403636579763555584 + i * 50_000_000
+            img = rng.integers(0, 255, (30, 40), np.uint8)
+            write_png(root / "cam0" / "data" / f"{ts}.png", img)
+            lines.append(f"{ts},{ts}.png")
+        (root / "cam0" / "data.csv").write_text("\n".join(lines))
+        (root / "cam0" / "sensor.yaml").write_text(
+            "resolution: [40, 30]\n"
+            "intrinsics: [35.0, 35.0, 20.0, 15.0]\n"
+            "distortion_coefficients: [-0.01, 0.005, 0.0001, -0.0002]\n")
+        imu = ["#ts,wx,wy,wz,ax,ay,az"]
+        for j in range(20):
+            ts = 1403636579763555584 - 10_000_000 + j * 5_000_000
+            imu.append(f"{ts},0.01,0.02,0.03,0.1,0.2,9.8")
+        (root / "imu0" / "data.csv").write_text("\n".join(imu))
+        gt = ["#ts,px,py,pz,qw,qx,qy,qz,..."]
+        for i in range(3):
+            ts = 1403636579763555584 + i * 50_000_000
+            gt.append(f"{ts},{0.2 * i},0,1.5,1,0,0,0,0,0,0")
+        (root / "state_groundtruth_estimate0" / "data.csv").write_text(
+            "\n".join(gt))
+        return str(tmp_path / "MH_tiny")
+
+    def test_parse(self, seq):
+        ds = open_dataset(seq + ".euroc")
+        assert len(ds) == 3
+        fr = ds.grab_frame()
+        assert fr.image.shape == (30, 40)
+        assert fr.camera.model == "opencv" and fr.camera.fx == 35.0
+        assert fr.gt_pose is not None
+        assert fr.imu is not None and len(fr.imu) > 0
+        # imu mapped to [t, ax ay az, wx wy wz]
+        np.testing.assert_allclose(fr.imu[0][1:4], [0.1, 0.2, 9.8])
+        fr2 = ds.grab_frame()
+        np.testing.assert_allclose(fr2.gt_pose[:3], [0.2, 0, 1.5],
+                                   atol=1e-6)
+
+
+class TestImageFolder:
+    def test_parse(self, tmp_path, rng):
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(3):
+            write_png(d / f"{i:03d}.png",
+                      rng.integers(0, 255, (20, 30), np.uint8))
+        (d / "calib.txt").write_text("25 25 15 10")
+        ds = open_dataset(str(d) + ".imgs")
+        assert len(ds) == 3
+        fr = ds.grab_frame()
+        assert fr.image.shape == (20, 30)
+        assert fr.camera.model == "pinhole" and fr.camera.fx == 25.0
+
+
+class TestPlayer:
+    def test_player_publishes_all_and_eos(self, tmp_path):
+        cfg = tmp_path / "p.synth"
+        cfg.write_text(json.dumps({"n_frames": 6, "n_points": 30,
+                                   "width": 80, "height": 60}))
+        ds = open_dataset(str(cfg))
+        bus = Messenger()
+        got = []
+        done = []
+        bus.subscribe(FRAME_TOPIC, 0, got.append)
+        bus.subscribe(EOS_TOPIC, 0, done.append)
+        player = DatasetPlayer(ds, bus=bus, rate=0.0).start()
+        player.join(10.0)
+        assert len(got) == 6
+        assert [f.id for f in got] == list(range(6))
+        assert done and done[0]["frames"] == 6
+
+    def test_pause_step(self, tmp_path):
+        import time
+
+        cfg = tmp_path / "p.synth"
+        cfg.write_text(json.dumps({"n_frames": 10, "n_points": 30,
+                                   "width": 80, "height": 60}))
+        ds = open_dataset(str(cfg))
+        bus = Messenger()
+        got = []
+        bus.subscribe(FRAME_TOPIC, 0, got.append)
+        player = DatasetPlayer(ds, bus=bus).start(playing=False)
+        time.sleep(0.1)
+        assert got == []
+        player.step()
+        time.sleep(0.3)
+        assert len(got) == 1
+        player.stop()
+
+
+class TestEval:
+    def test_associate(self):
+        te = np.array([0.0, 0.11, 0.22, 5.0])
+        tg = np.array([0.0, 0.1, 0.2, 0.3])
+        ie, ig = associate(te, tg, max_dt=0.02)
+        assert list(ie) == [0, 1, 2]
+        assert list(ig) == [0, 1, 2]
+
+    def test_ate_zero_on_identical(self, rng):
+        p = rng.normal(size=(50, 3))
+        assert ate_rmse(p, p) < 1e-6
+
+    def test_ate_invariant_to_similarity(self, rng):
+        import jax.numpy as jnp
+
+        from gslam_tpu.core.sim3 import sim3_apply, sim3_make
+        from gslam_tpu.core.so3 import so3_exp
+
+        p = rng.normal(size=(50, 3)).astype(np.float32)
+        S = sim3_make(jnp.asarray([3.0, -1.0, 2.0]),
+                      so3_exp(jnp.asarray([0.3, 0.1, -0.2])),
+                      jnp.asarray([2.0]))
+        q = np.asarray(sim3_apply(S, jnp.asarray(p)))
+        assert ate_rmse(q, p) < 1e-4  # alignment removes the similarity
+
+    def test_evaluate_trajectory_full(self, rng):
+        t = np.arange(40) * 0.1
+        p_gt = np.stack([np.sin(t), np.cos(t), t * 0.1], -1)
+        p_est = p_gt + rng.normal(0, 0.01, p_gt.shape)
+        m = evaluate_trajectory(t, p_est, t, p_gt)
+        assert m.n_matched == 40
+        assert 0.0 < m.ate_rmse < 0.05
+        assert m.rpe_rmse < 0.05
