@@ -1,0 +1,54 @@
+"""Benchmark: frames/s of the flagship fused tracking step on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The metric is sustained frames/s of the full per-frame SLAM hot path
+(FAST+BRIEF extraction on 640x480, GEMM Hamming matching vs a 2048-point
+local map, 256-hypothesis PnP RANSAC + GN refine) as one jitted XLA
+graph on the available accelerator.
+
+vs_baseline: the reference (GSLAM, CPU, ICCV'19-era) evaluates SLAM
+plugins at real-time camera rate; 30 frames/s is the de-facto reference
+throughput bound for its integrated pipelines (the paper's per-frame
+timing tables gate on camera rate; exact numbers were not extractable —
+BASELINE.md).  vs_baseline = fps / 30.
+"""
+
+import json
+import time
+
+BASELINE_FPS = 30.0
+
+
+def main() -> None:
+    import jax
+
+    from gslam_tpu.models.graft import example_inputs, track_forward
+
+    args = example_inputs()
+    # compile + warmup
+    out = track_forward(*args)
+    jax.block_until_ready(out)
+
+    n_iter = 30
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = track_forward(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_iter
+        best = min(best, dt)
+
+    fps = 1.0 / best
+    print(json.dumps({
+        "metric": "tracking_step_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,11 +66,22 @@ class SyntheticDataset(Dataset):
         c = self.cfg
         rng = np.random.default_rng(c["seed"])
         e = c["world_extent"]
-        # world points in a slab the orbit looks at
-        self.X = np.stack([
-            rng.uniform(-e, e, c["n_points"]),
-            rng.uniform(-e * 0.6, e * 0.6, c["n_points"]),
-            rng.uniform(-e * 0.5, e * 0.5, c["n_points"])], -1)
+        n = c["n_points"]
+        # points on a smooth undulating surface: locally near-planar
+        # (descriptor patches stay rigid under parallax, like real
+        # scenes) but globally 3D (PnP/BA well-conditioned)
+        if c["motion"] == "line":
+            # wall in front of a camera that moves +x facing +z
+            x = rng.uniform(-e * 0.5, e * 2.0, n)
+            y = rng.uniform(-e * 0.6, e * 0.6, n)
+            z = e + 0.25 * e * np.sin(1.5 * x / e) * np.cos(2.0 * y / e)
+            self.X = np.stack([x, y, z], -1)
+        else:
+            # undulating slab the orbit/ring looks at
+            x = rng.uniform(-e, e, n)
+            y = rng.uniform(-e * 0.6, e * 0.6, n)
+            z = 0.25 * e * np.sin(2.0 * x / e) * np.cos(1.5 * y / e)
+            self.X = np.stack([x, y, z], -1)
         self.I = rng.uniform(0.55, 1.0, c["n_points"])
         self.camera = Camera.from_fov(c["width"], c["height"], c["fov_deg"])
         self.rng = rng

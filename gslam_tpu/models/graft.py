@@ -1,0 +1,62 @@
+"""Fused jittable tracking step — the flagship forward function.
+
+One XLA graph for the per-frame hot path of KeyframeSLAM (SURVEY 3.2):
+extract (FAST + NMS + top-K + orientation + BRIEF) -> match against the
+local-map descriptor slab (+/-1 GEMM Hamming) -> batched PnP RANSAC ->
+GN pose refine.  Used by the driver's compile check (__graft_entry__)
+and by bench.py for the frames/s/chip metric.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gslam_tpu.core.camera import pinhole_unproject
+from gslam_tpu.estimation.pnp import find_pnp_ransac
+from gslam_tpu.ops.frontend import extract_features
+from gslam_tpu.ops.matching import match_descriptors
+
+
+@partial(jax.jit, static_argnames=("max_kps", "threshold", "ransac_b"))
+def track_forward(image: jnp.ndarray, cam_params: jnp.ndarray,
+                  map_xyz: jnp.ndarray, map_desc: jnp.ndarray,
+                  map_valid: jnp.ndarray, key: jax.Array,
+                  max_kps: int = 512, threshold: float = 0.06,
+                  ransac_b: int = 256
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(pose_cw (7,), n_inliers, n_features) for one frame.
+
+    image: (H, W) float32 grayscale in [0, 1]
+    cam_params: (4,) pinhole [fx, fy, cx, cy]
+    map_xyz/(M,3), map_desc/(M,8) uint32, map_valid/(M,): local map slab
+    """
+    feats = extract_features(image, max_kps=max_kps, threshold=threshold)
+    m = match_descriptors(map_desc, map_valid, feats.desc, feats.valid)
+    rays = pinhole_unproject(cam_params, feats.uv[m.idx.clip(0)])[:, :2]
+    T, inl, n = find_pnp_ransac(key, map_xyz, rays, m.valid,
+                                threshold=2e-5, B=ransac_b)
+    return T, n, feats.count
+
+
+def example_inputs(H: int = 480, W: int = 640, M: int = 2048,
+                   max_kps: int = 512):
+    """Deterministic example args for compile checks / benchmarks."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = np.full((H, W), 0.1, np.float32)
+    for _ in range(200):
+        y = rng.integers(8, H - 8)
+        x = rng.integers(8, W - 8)
+        img[y - 1:y + 2, x - 1:x + 2] = rng.uniform(0.6, 1.0)
+    cam = np.asarray([W * 0.8, W * 0.8, W / 2, H / 2], np.float32)
+    xyz = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
+                    rng.uniform(3, 9, M)], -1).astype(np.float32)
+    desc = rng.integers(0, 2**31, (M, 8)).astype(np.uint32)
+    valid = np.ones(M, bool)
+    return (jnp.asarray(img), jnp.asarray(cam), jnp.asarray(xyz),
+            jnp.asarray(desc), jnp.asarray(valid), jax.random.PRNGKey(0))

@@ -42,7 +42,8 @@ from gslam_tpu.map.arena import (MapArena, add_observations,
                                  insert_frame, insert_points, make_arena)
 from gslam_tpu.models.odometry import FrameToFrameOdometry
 from gslam_tpu.ops.frontend import Features, extract_features
-from gslam_tpu.ops.matching import match_descriptors
+from gslam_tpu.ops.matching import (match_descriptors,
+                                    match_descriptors_gated)
 from gslam_tpu.opt.ba import (build_problem_from_arena, bundle_adjust,
                               write_back_to_arena)
 from gslam_tpu.utils.timer import timer
@@ -57,11 +58,15 @@ class SLAMConfig:
     ba_points: int = 1024
     ba_iters: int = 6
     ba_obs_per_point: int = 8
-    kf_min_inlier_frac: float = 0.6  # promote KF when tracking weakens
+    enable_ba: bool = True
+    kf_min_inlier_frac: float = 0.4  # promote KF when tracking weakens
     kf_min_gap: int = 3
     kf_max_gap: int = 20
     match_max_dist: float = 64.0
-    pnp_threshold: float = 2e-5
+    match_ratio: float = 0.85
+    gate_radius_px: float = 40.0   # search-by-projection window
+    dedup_radius_px: float = 4.0   # no new point near an existing one
+    pnp_px_threshold: float = 2.0  # RANSAC inlier gate (pixels)
     min_track_inliers: int = 10
     cap_frames: int = 256
     cap_points: int = 16384
@@ -72,15 +77,22 @@ class SLAMConfig:
 class KeyframeSLAM:
     """Reference 'SLAM' plugin contract: valid() / track(frame) / map."""
 
-    def __init__(self, camera: Camera, config: Optional[SLAMConfig] = None):
+    def __init__(self, camera: Camera, config: Optional[SLAMConfig] = None,
+                 vocabulary=None):
         self.camera = camera
         self.cfg = config or SLAMConfig()
         c = self.cfg
+        self.loop_closer = None
+        if vocabulary is not None:
+            from gslam_tpu.models.loop_closure import LoopCloser
+
+            self.loop_closer = LoopCloser(vocabulary, c.cap_frames)
         self.arena: MapArena = make_arena(
             cap_frames=c.cap_frames, cap_kps=c.max_kps,
             cap_points=c.cap_points, cap_obs=c.cap_obs)
         self.key = jax.random.PRNGKey(c.seed)
         self.pose_wc = se3_identity()      # current cam->world
+        self.velocity = se3_identity()     # T_cw(t) * T_cw(t-1)^-1
         self.last_kf_id: int = -1
         self.frames_since_kf = 0
         self.initialized = False
@@ -99,6 +111,20 @@ class KeyframeSLAM:
         return sub
 
     # ------------------------------------------------------------------
+    def _kp_depths(self, frame: FrameData, feats: Features):
+        """Per-keypoint metric depth (K,) or None.
+
+        Default: sample the frame's depth image at keypoint pixels
+        (RGB-D).  StereoSLAM overrides this with left-right matching.
+        """
+        if frame.depth is None:
+            return None
+        xi = feats.uv[:, 0].astype(jnp.int32).clip(
+            0, frame.depth.shape[1] - 1)
+        yi = feats.uv[:, 1].astype(jnp.int32).clip(
+            0, frame.depth.shape[0] - 1)
+        return jnp.asarray(frame.depth)[yi, xi]
+
     def track(self, frame: FrameData) -> np.ndarray:
         c = self.cfg
         with timer.section("slam/extract"):
@@ -106,6 +132,7 @@ class KeyframeSLAM:
                                      max_kps=c.max_kps,
                                      threshold=c.fast_threshold)
             timer.block(feats)
+        self._cur_kp_depth = self._kp_depths(frame, feats)
 
         n_inliers = 0
         n_matches = 0
@@ -114,7 +141,11 @@ class KeyframeSLAM:
         else:
             pose_cw, n_matches, n_inliers = self._track_local_map(feats)
             if n_inliers >= c.min_track_inliers:
-                self.pose_wc = se3_inverse(pose_cw)
+                new_pose_wc = se3_inverse(pose_cw)
+                # motion model: T_cw(t) o T_cw(t-1)^-1
+                self.velocity = se3_mul(
+                    pose_cw, self.pose_wc)
+                self.pose_wc = new_pose_wc
                 self.frames_since_kf += 1
                 if self._need_keyframe(n_inliers, n_matches):
                     self._insert_keyframe(frame, feats, pose_cw)
@@ -137,7 +168,7 @@ class KeyframeSLAM:
     # ------------------------------------------------------------------
     def _initialize(self, frame: FrameData, feats: Features) -> None:
         """Map bootstrap: depth-based if depth exists, else two-view."""
-        if frame.depth is not None:
+        if self._cur_kp_depth is not None:
             pose_cw = se3_inverse(self.pose_wc)
             self._insert_keyframe(frame, feats, pose_cw, run_ba=False)
             self.initialized = int(self.arena.n_points) > 20
@@ -213,14 +244,23 @@ class KeyframeSLAM:
             slab_ids, xyz, desc, valid = self._local_map_slab()
             timer.block(valid)
         with timer.section("slam/match"):
-            m = match_descriptors(desc, valid, feats.desc, feats.valid,
-                                  max_dist=c.match_max_dist)
+            # search by projection under a constant-velocity pose
+            # prediction (resolves repetitive-texture ambiguity)
+            pose_cw_pred = se3_mul(self.velocity,
+                                   se3_inverse(self.pose_wc))
+            pc = se3_apply(pose_cw_pred, xyz)
+            uv_pred, proj_ok = self.camera.project(pc)
+            m = match_descriptors_gated(
+                desc, valid & proj_ok, feats.desc, feats.valid,
+                uv_pred, feats.uv, c.gate_radius_px,
+                max_dist=c.match_max_dist, ratio=c.match_ratio)
             timer.block(m)
         n_matches = int(m.count)
         rays = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
         with timer.section("slam/pnp"):
+            thr = (c.pnp_px_threshold / self.camera.fx) ** 2
             T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays,
-                                        m.valid, threshold=c.pnp_threshold)
+                                        m.valid, threshold=thr)
             timer.block(T)
         self._last_track = (slab_ids, m, inl)
         return T, n_matches, int(n)
@@ -241,13 +281,8 @@ class KeyframeSLAM:
         kp_meta = jnp.stack([feats.score, feats.angle,
                              jnp.zeros_like(feats.score),
                              jnp.zeros_like(feats.score)], -1)
-        depth = jnp.zeros((self.cfg.max_kps,))
-        if frame.depth is not None:
-            xi = feats.uv[:, 0].astype(jnp.int32).clip(
-                0, frame.depth.shape[1] - 1)
-            yi = feats.uv[:, 1].astype(jnp.int32).clip(
-                0, frame.depth.shape[0] - 1)
-            depth = jnp.asarray(frame.depth)[yi, xi]
+        depth = (self._cur_kp_depth if self._cur_kp_depth is not None
+                 else jnp.zeros((self.cfg.max_kps,)))
         self.arena, fid = insert_frame(
             self.arena, sim3_from_se3(pose_cw), frame.timestamp,
             feats.uv, kp_meta, feats.desc, feats.count, kp_depth=depth)
@@ -271,14 +306,12 @@ class KeyframeSLAM:
                 matched_kp_mask = matched_kp_mask.at[m.idx.clip(0)].set(
                     obs_ok)
             # 2. new points from depth for unmatched keypoints
-            if frame.depth is not None:
-                xi = feats.uv[:, 0].astype(jnp.int32).clip(
-                    0, frame.depth.shape[1] - 1)
-                yi = feats.uv[:, 1].astype(jnp.int32).clip(
-                    0, frame.depth.shape[0] - 1)
-                d = jnp.asarray(frame.depth)[yi, xi]
+            if self._cur_kp_depth is not None:
+                d = self._cur_kp_depth
                 newok = (feats.valid & ~matched_kp_mask & (d > 1e-3)
                          & jnp.isfinite(d))
+                newok = newok & ~self._near_existing_point(feats.uv,
+                                                           pose_cw)
                 rays3 = self.camera.unproject(feats.uv)
                 pts_cam = rays3 / rays3[:, 2:3] * d[:, None]
                 pose_wc = se3_inverse(pose_cw)
@@ -292,8 +325,38 @@ class KeyframeSLAM:
                 self._triangulate_new_points(fid, feats, pose_cw)
         self.last_kf_id = fid
         self.frames_since_kf = 0
-        if run_ba and int(self.arena.n_frames) >= 2:
+        if run_ba and self.cfg.enable_ba and int(self.arena.n_frames) >= 2:
             self._local_ba()
+        if self.loop_closer is not None and fid >= 0:
+            with timer.section("slam/loop"):
+                self.loop_closer.add_keyframe(
+                    fid, self.arena.frame_desc[fid],
+                    jnp.arange(self.cfg.max_kps)
+                    < self.arena.frame_kp_count[fid])
+                self.arena, closed = self.loop_closer.close(
+                    self.arena, self.camera, fid)
+                if closed:
+                    self.pose_wc = se3_inverse(
+                        self.arena.frame_pose[fid][:7])
+                    self.velocity = se3_identity()
+
+    def _near_existing_point(self, kp_uv: jnp.ndarray, pose_cw
+                             ) -> jnp.ndarray:
+        """(K,) mask: keypoint lies within dedup_radius_px of an existing
+        valid map point projected into this frame.  Prevents the
+        duplicate-point spiral (duplicates make the matcher's ratio test
+        reject everything, which forces more keyframes and more
+        duplicates)."""
+        c = self.cfg
+        if not self.initialized:
+            return jnp.zeros(kp_uv.shape[0], bool)
+        slab_ids, xyz, desc, valid = self._local_map_slab()
+        pc = se3_apply(pose_cw, xyz)
+        uv, proj_ok = self.camera.project(pc)
+        ok = valid & proj_ok
+        d2 = jnp.sum((kp_uv[:, None, :] - uv[None, :, :]) ** 2, -1)
+        d2 = jnp.where(ok[None, :], d2, jnp.inf)
+        return d2.min(axis=1) < c.dedup_radius_px ** 2
 
     def _triangulate_new_points(self, fid: int, feats: Features,
                                 pose_cw) -> None:

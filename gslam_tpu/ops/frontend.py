@@ -143,10 +143,16 @@ def nms(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("max_kps", "border"))
 def select_keypoints(score: jnp.ndarray, max_kps: int = 512,
-                     border: int = PATCH_R + 1
+                     border: int = PATCH_R + 1,
+                     raw_score: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                 jnp.ndarray]:
-    """Top-K maxima -> (uv (K,2), score (K,), valid (K,), count)."""
+    """Top-K maxima -> (uv (K,2), score (K,), valid (K,), count).
+
+    With `raw_score` (the pre-NMS response map), maxima are refined to
+    subpixel by a 1D quadratic fit per axis — integer-pixel keypoints
+    alias by up to 0.7 px, which dominates PnP/BA residuals otherwise.
+    """
     H, W = score.shape
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
@@ -154,8 +160,23 @@ def select_keypoints(score: jnp.ndarray, max_kps: int = 512,
           & (xs >= border) & (xs < W - border))
     s = jnp.where(ok, score, 0.0).reshape(-1)
     val, idx = jax.lax.top_k(s, max_kps)
-    y = (idx // W).astype(jnp.float32)
-    x = (idx % W).astype(jnp.float32)
+    yi = (idx // W).astype(jnp.int32)
+    xi = (idx % W).astype(jnp.int32)
+    y = yi.astype(jnp.float32)
+    x = xi.astype(jnp.float32)
+    if raw_score is not None:
+        r = raw_score
+
+        def parab(cm, c0, cp):
+            denom = cm - 2.0 * c0 + cp
+            off = 0.5 * (cm - cp) / jnp.where(jnp.abs(denom) < 1e-9,
+                                              1e-9, denom)
+            return off.clip(-0.5, 0.5)
+
+        dx = parab(r[yi, xi - 1], r[yi, xi], r[yi, xi + 1])
+        dy = parab(r[yi - 1, xi], r[yi, xi], r[yi + 1, xi])
+        x = x + dx
+        y = y + dy
     valid = val > 0
     uv = jnp.stack([x, y], -1)
     return uv, val, valid, valid.sum().astype(jnp.int32)
@@ -260,8 +281,10 @@ def extract_features(img: jnp.ndarray, max_kps: int = 512,
     detect (FAST+NMS) -> select top-K -> orient (centroid) -> describe
     (rotated BRIEF on blurred image).  One fused jitted graph.
     """
-    score = nms(fast_score(img, threshold))
-    uv, val, valid, count = select_keypoints(score, max_kps=max_kps)
+    raw = fast_score(img, threshold)
+    score = nms(raw)
+    uv, val, valid, count = select_keypoints(score, max_kps=max_kps,
+                                             raw_score=raw)
     angle = compute_orientations(img, uv)
     blur = gaussian_blur(img, sigma=2.0)
     desc = brief_descriptors(blur, uv, angle)

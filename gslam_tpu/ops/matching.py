@@ -86,3 +86,37 @@ def match_frames(feat_a, feat_b, **kw) -> Matches:
     """Match two Features sets (gslam_tpu.ops.frontend.Features)."""
     return match_descriptors(feat_a.desc, feat_a.valid,
                              feat_b.desc, feat_b.valid, **kw)
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def match_descriptors_gated(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+                            desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+                            uv_a: jnp.ndarray, uv_b: jnp.ndarray,
+                            gate_radius: jnp.ndarray | float,
+                            max_dist: float = 64.0,
+                            ratio: float = 0.9) -> Matches:
+    """Projection-gated matching (search-by-projection).
+
+    The ORB-SLAM-style tracking matcher: candidate pairs are restricted
+    to a spatial gate |uv_a - uv_b| < gate_radius (uv_a = projected map
+    points under the predicted pose, uv_b = detected keypoints), which
+    resolves repetitive-texture ambiguity that a global ratio test
+    can't.  Formulated densely: the (N, M) Hamming GEMM masked by the
+    (N, M) gate — still pure MXU/VPU work, no gather lists.
+    """
+    D = hamming_matrix(desc_a, desc_b)
+    inf = jnp.float32(BITS + 1)
+    gate2 = jnp.asarray(gate_radius, jnp.float32) ** 2
+    d2 = jnp.sum((uv_a[:, None, :] - uv_b[None, :, :]) ** 2, -1)
+    ok_pair = (valid_a[:, None] & valid_b[None, :]) & (d2 <= gate2)
+    D = jnp.where(ok_pair, D, inf)
+
+    neg2, idx2 = jax.lax.top_k(-D, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    bidx = idx2[:, 0]
+    ok = valid_a & (best <= max_dist) & (best <= ratio * second)
+    return Matches(idx=jnp.where(ok, bidx, -1).astype(jnp.int32),
+                   dist=jnp.where(ok, best, inf),
+                   valid=ok,
+                   count=ok.sum().astype(jnp.int32))

@@ -1,0 +1,269 @@
+"""Bag-of-words vocabulary for place recognition.
+
+TPU-native re-design of the reference ``Vocabulary``
+(``GSLAM/core/Vocabulary.h``: header-only DBoW2/DBoW3-compatible k-ary
+tree over binary descriptors, k-means++ training, TF-IDF BowVector +
+FeatureVector, L1/L2 scoring, SSE/AVX popcount — the paper's headline
+speedup component).  Here:
+
+* the tree is a *complete* k-ary array (level-major node table), so
+  transform is L gather-then-argmin steps over (N, k) Hamming distances
+  computed by bit ops on the VPU — no pointers, no recursion, one jitted
+  graph for all N descriptors at once;
+* BowVectors are dense (n_words,) TF-IDF vectors; database similarity
+  (the loop-closure query) is ONE GEMM against the stacked keyframe
+  BoW matrix on the MXU;
+* training is offline host-side binary k-means (majority-vote medoids),
+  numpy;
+* save/load: npz; plus a DBoW3-compatible text parser/writer
+  (load_dbow3_text) so reference vocabularies interoperate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.map.arena import DESC_WORDS
+
+
+class Vocabulary(NamedTuple):
+    """Complete k-ary tree, level-major.
+
+    node_desc: (n_nodes, DESC_WORDS) uint32 — per-node cluster centre;
+        level l occupies [(k^l - 1)/(k-1), (k^(l+1) - 1)/(k-1)).
+    word_weight: (k^L,) float32 — IDF weight per leaf word.
+    k, L: branching factor and depth (static).
+    """
+
+    node_desc: jnp.ndarray
+    word_weight: jnp.ndarray
+    k: int
+    L: int
+
+    @property
+    def n_words(self) -> int:
+        return self.k ** self.L
+
+
+def _level_offset(k: int, l: int) -> int:
+    """Index of the first node of level l (root = level 0 at index 0)."""
+    return (k ** l - 1) // (k - 1)
+
+
+def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-parallel popcount for uint32 arrays (VPU friendly)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+def hamming_packed(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise-broadcast Hamming distance of packed descriptors;
+    sums popcount(xor) over the last (word) axis."""
+    return _popcount32(a ^ b).sum(-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "L"))
+def _transform_words(node_desc: jnp.ndarray, desc: jnp.ndarray,
+                     valid: jnp.ndarray, k: int, L: int) -> jnp.ndarray:
+    """Descend the tree: (N, W) packed descriptors -> (N,) word ids."""
+    N = desc.shape[0]
+    node = jnp.zeros((N,), jnp.int32)  # position within level
+    for l in range(L):
+        off = _level_offset(k, l + 1)
+        child_idx = off + node[:, None] * k + jnp.arange(k)[None, :]
+        cdesc = node_desc[child_idx]              # (N, k, W)
+        d = hamming_packed(cdesc, desc[:, None, :])  # (N, k)
+        best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        node = node * k + best
+    return jnp.where(valid, node, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "L"))
+def _transform_bow(node_desc: jnp.ndarray, word_weight: jnp.ndarray,
+                   desc: jnp.ndarray, valid: jnp.ndarray, k: int, L: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(bow (n_words,) L1-normalized TF-IDF, word ids (N,))."""
+    words = _transform_words(node_desc, desc, valid, k, L)
+    n_words = k ** L
+    bow = jnp.zeros((n_words,)).at[words.clip(0)].add(
+        jnp.where(valid, word_weight[words.clip(0)], 0.0))
+    norm = jnp.maximum(jnp.abs(bow).sum(), 1e-12)
+    return bow / norm, words
+
+
+def transform(voc: Vocabulary, desc: jnp.ndarray,
+              valid: Optional[jnp.ndarray] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BowVector + word ids for one descriptor set (jitted)."""
+    if valid is None:
+        valid = jnp.ones(desc.shape[0], bool)
+    return _transform_bow(voc.node_desc, voc.word_weight, desc, valid,
+                          voc.k, voc.L)
+
+
+def score_l1(bow_a: jnp.ndarray, bow_db: jnp.ndarray) -> jnp.ndarray:
+    """DBoW L1 score of one BoW vs a database matrix (D, n_words):
+    s = 1 - 0.5 * |a - b|_1  == sum of elementwise min for L1-normalized
+    non-negative vectors (identity used by DBoW2); computed densely."""
+    return jnp.minimum(bow_a[None, :], bow_db).sum(-1)
+
+
+def score_l2(bow_a: jnp.ndarray, bow_db: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-style L2 score via one GEMV/GEMM on the MXU."""
+    na = jnp.maximum(jnp.linalg.norm(bow_a), 1e-12)
+    nb = jnp.maximum(jnp.linalg.norm(bow_db, axis=-1), 1e-12)
+    return (bow_db @ bow_a) / (na * nb)
+
+
+# ---------------------------------------------------------------------------
+# training (host-side, offline)
+
+
+def _unpack_bits_np(desc: np.ndarray) -> np.ndarray:
+    """(N, W) uint32 -> (N, W*32) uint8 bits."""
+    bits = ((desc[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1)
+    return bits.reshape(desc.shape[0], -1).astype(np.uint8)
+
+
+def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
+    N, B = bits.shape
+    W = B // 32
+    w = bits.reshape(N, W, 32).astype(np.uint32)
+    return (w << np.arange(32, dtype=np.uint32)).sum(-1).astype(np.uint32)
+
+
+def _binary_kmeans(bits: np.ndarray, k: int, rng, iters: int = 8
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """k-means over binary vectors: majority-vote centres, Hamming
+    assignment (kmeans++-style seeding).  Returns (centres_bits (k, B),
+    assignment (N,))."""
+    N = bits.shape[0]
+    if N == 0:
+        return np.zeros((k, bits.shape[1]), np.uint8), np.zeros(0, np.int64)
+    # seeding: first random, rest by distance-weighted choice
+    centres = [bits[rng.integers(N)]]
+    d_min = None
+    for _ in range(1, k):
+        d = (bits != centres[-1][None]).sum(-1)
+        d_min = d if d_min is None else np.minimum(d_min, d)
+        p = d_min.astype(np.float64) + 1e-3
+        centres.append(bits[rng.choice(N, p=p / p.sum())])
+    C = np.stack(centres)
+    assign = np.zeros(N, np.int64)
+    for _ in range(iters):
+        d = (bits[:, None, :] != C[None, :, :]).sum(-1)  # (N, k)
+        assign = d.argmin(1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = (bits[m].mean(0) >= 0.5).astype(np.uint8)
+    return C, assign
+
+
+def train_vocabulary(desc: np.ndarray, k: int = 8, L: int = 3,
+                     seed: int = 0, iters: int = 8) -> Vocabulary:
+    """Hierarchical binary k-means (reference Vocabulary::create)."""
+    rng = np.random.default_rng(seed)
+    bits = _unpack_bits_np(np.asarray(desc, np.uint32))
+    B = bits.shape[1]
+    n_nodes = _level_offset(k, L + 1)
+    node_bits = np.zeros((n_nodes, B), np.uint8)
+    # assignment of every training descriptor to a node of each level
+    groups = {0: np.arange(bits.shape[0])}
+    for l in range(L):
+        next_groups = {}
+        off = _level_offset(k, l + 1)
+        for node, idx in groups.items():
+            C, assign = _binary_kmeans(bits[idx], k, rng, iters)
+            for j in range(k):
+                child = node * k + j
+                node_bits[off + child] = C[j]
+                next_groups[child] = idx[assign == j] if len(idx) else \
+                    np.zeros(0, np.int64)
+        groups = next_groups
+    # IDF weights: ln(N_docs / n_i) approximated with descriptor counts
+    n_words = k ** L
+    counts = np.zeros(n_words)
+    off = _level_offset(k, L)
+    for node, idx in groups.items():
+        counts[node] = len(idx)
+    N_total = max(bits.shape[0], 1)
+    idf = np.log(N_total / np.maximum(counts, 1.0))
+    return Vocabulary(
+        node_desc=jnp.asarray(_pack_bits_np(node_bits)),
+        word_weight=jnp.asarray(idf.astype(np.float32)),
+        k=k, L=L)
+
+
+# ---------------------------------------------------------------------------
+# persistence
+
+
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(path, node_desc=np.asarray(voc.node_desc),
+                        word_weight=np.asarray(voc.word_weight),
+                        k=voc.k, L=voc.L)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(node_desc=jnp.asarray(z["node_desc"]),
+                      word_weight=jnp.asarray(z["word_weight"]),
+                      k=int(z["k"]), L=int(z["L"]))
+
+
+def save_dbow3_text(voc: Vocabulary, path: str) -> None:
+    """DBoW3 text layout: first line 'k L scoring weighting', then one
+    line per non-root node: 'parent_id is_leaf d0 d1 ... d31 weight'
+    (descriptor bytes).  Written in our complete-tree node order."""
+    nd = np.asarray(voc.node_desc)
+    ww = np.asarray(voc.word_weight)
+    k, L = voc.k, voc.L
+    lines = [f"{k} {L} 0 0"]
+    for l in range(1, L + 1):
+        off = _level_offset(k, l)
+        n = k ** l
+        for i in range(n):
+            parent = _level_offset(k, l - 1) + i // k if l > 1 else 0
+            is_leaf = 1 if l == L else 0
+            by = nd[off + i].view(np.uint8) if nd[off + i].flags.c_contiguous \
+                else np.ascontiguousarray(nd[off + i]).view(np.uint8)
+            w = ww[i] if l == L else 0.0
+            lines.append(f"{parent} {is_leaf} "
+                         + " ".join(str(int(b)) for b in by)
+                         + f" {w}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def load_dbow3_text(path: str) -> Vocabulary:
+    """Parse the DBoW3 text format (complete-tree assumption: accepts
+    vocabularies written by save_dbow3_text and standard DBoW3 dumps
+    whose tree is complete)."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        n_nodes = _level_offset(k, L + 1)
+        nd = np.zeros((n_nodes, DESC_WORDS), np.uint32)
+        ww = np.zeros(k ** L, np.float32)
+        idx = 1
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            is_leaf = int(parts[1])
+            by = np.asarray([int(x) for x in parts[2:2 + 32]], np.uint8)
+            nd[idx] = by.view(np.uint32)
+            if is_leaf:
+                word = idx - _level_offset(k, L)
+                ww[word] = float(parts[-1])
+            idx += 1
+    return Vocabulary(node_desc=jnp.asarray(nd),
+                      word_weight=jnp.asarray(ww), k=k, L=L)

@@ -297,11 +297,16 @@ def build_problem_from_arena(arena, cam_ids: jnp.ndarray,
     cam_pose = arena.frame_pose[cam_ids.clip(0)][:, :7]
     point_xyz = arena.point_xyz[point_ids.clip(0)]
 
+    # points with < 2 in-window observations are depth-unconstrained
+    # (bearing-only): keep them fixed so BA can't slide them along rays
+    n_obs_per_pt = obs_valid.sum(-1)
+    under_constrained = n_obs_per_pt < 2
+
     problem = BundleProblem(
         cam_pose=cam_pose,
         cam_fixed=fixed_cam_mask | ~cam_ok,
         point_xyz=point_xyz,
-        point_fixed=~pt_ok,
+        point_fixed=~pt_ok | under_constrained,
         obs_cam=obs_cam,
         obs_uv=obs_uv,
         obs_valid=obs_valid,

@@ -1,0 +1,65 @@
+"""Distributed Schur BA tests on a virtual 8-device CPU mesh.
+
+Validates SPMD correctness: the sharded reduction must match the
+single-device bundle_adjust to float tolerance, on 1D ('pt') and 2D
+('pt' x 'obs') meshes, with non-divisible sizes exercising padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslam_tpu.opt.ba import ba_cost, bundle_adjust
+from gslam_tpu.parallel.dist_ba import distributed_bundle_adjust
+from gslam_tpu.parallel.mesh import make_mesh
+
+from tests.test_opt import make_ba_problem
+
+
+def cpu_mesh(shape):
+    devs = jax.devices("cpu")
+    n = shape[0] * shape[1]
+    if len(devs) < n:
+        pytest.skip(f"needs {n} cpu devices")
+    return make_mesh(shape, devices=devs[:n])
+
+
+class TestDistributedBA:
+    @pytest.mark.parametrize("shape", [(4, 1), (8, 1), (4, 2)])
+    def test_matches_single_device(self, rng, shape):
+        prob, gt_poses, gt_X = make_ba_problem(
+            rng, C=5, P=40, O=4, pose_noise=0.02, point_noise=0.05)
+        mesh = cpu_mesh(shape)
+        out_d, costs_d = distributed_bundle_adjust(prob, mesh, iters=8)
+        out_s, stats_s = bundle_adjust(prob, iters=8)
+        # both must converge to (nearly) zero cost on clean data
+        assert float(costs_d[-1]) < 1e-9
+        assert float(stats_s.cost[-1]) < 1e-9
+        np.testing.assert_allclose(np.asarray(out_d.cam_pose),
+                                   np.asarray(out_s.cam_pose), atol=1e-3)
+
+    def test_padding_nondivisible(self, rng):
+        # P=37 not divisible by 4; O=3 not divisible by 2
+        prob, _, _ = make_ba_problem(rng, C=4, P=37, O=3,
+                                     pose_noise=0.01, point_noise=0.02)
+        mesh = cpu_mesh((4, 2))
+        out, costs = distributed_bundle_adjust(prob, mesh, iters=6)
+        assert float(costs[-1]) < 1e-9
+        assert out.point_xyz.shape == prob.point_xyz.shape
+
+    def test_cost_decreases(self, rng):
+        prob, _, _ = make_ba_problem(rng, C=6, P=64, O=5,
+                                     pose_noise=0.03, point_noise=0.08)
+        mesh = cpu_mesh((8, 1))
+        out, costs = distributed_bundle_adjust(prob, mesh, iters=8)
+        costs = np.asarray(costs)
+        assert costs[-1] < costs[0] * 1e-3
+        assert np.all(np.diff(costs) <= 1e-6)
+
+    def test_fixed_blocks_respected(self, rng):
+        prob, _, _ = make_ba_problem(rng, C=4, P=32, O=4, pose_noise=0.02)
+        mesh = cpu_mesh((4, 1))
+        out, _ = distributed_bundle_adjust(prob, mesh, iters=4)
+        np.testing.assert_array_equal(np.asarray(out.cam_pose[0]),
+                                      np.asarray(prob.cam_pose[0]))
