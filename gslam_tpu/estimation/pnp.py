@@ -1,11 +1,16 @@
 """Perspective-n-Point: camera pose from 2D-3D correspondences.
 
 Covers the reference Estimator's 2D-3D surface (PnP RANSAC,
-``GSLAM/core/Estimator.h``).  Hypotheses are 6-point DLT fits of the
-projection matrix (vmapped batched SVD) with the rotation re-orthogonal-
-ized by SVD; refinement on inliers is Gauss-Newton on the SE3 tangent
-(fixed iteration count — jit-friendly), playing the role of the
-reference's iterative PnP polish.
+``GSLAM/core/Estimator.h``).  RANSAC hypotheses come from a *batched
+closed-form P3P* (Grunert's quartic, solved by Ferrari's method in f32
+with Newton polish — TPU has no f64 and no nonsymmetric eig, so the
+companion-matrix route is out): P3P handles planar and general scenes
+alike, where a 6-point DLT of the projection matrix degenerates on
+coplanar samples (walls/floors — ubiquitous in SLAM).  Each minimal
+sample yields up to 4 pose solutions disambiguated by a 4th point; all
+B x 4 candidates are scored in parallel.  A 6-point DLT remains
+available (``_dlt_pnp``) for volumetric scenes.  Refinement on inliers
+is Gauss-Newton on the SE3 tangent (fixed iterations, jit-friendly).
 """
 
 from __future__ import annotations
@@ -57,6 +62,163 @@ def _dlt_pnp(sample: jnp.ndarray) -> jnp.ndarray:
     # det=+1; the remaining ambiguity is handled by scoring (bad
     # hypotheses get few inliers). Keep t-flip only.
     return se3_make(t * flip, matrix_to_quat(Rn))
+
+
+def _solve_quartic(c4, c3, c2, c1, c0, newton_iters: int = 4
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real roots of a quartic, Ferrari's method (f32-safe).
+
+    Returns (roots (4,), valid (4,)).  Invalid slots hold garbage;
+    downstream scoring masks them.  Roots are polished with Newton
+    iterations on the original quartic to recover f32 precision.
+    """
+    eps = 1e-12
+    c4s = jnp.where(jnp.abs(c4) < eps, eps, c4)
+    a = c3 / c4s
+    b = c2 / c4s
+    c = c1 / c4s
+    d = c0 / c4s
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - a/4
+    p = b - 3.0 * a * a / 8.0
+    q = c - a * b / 2.0 + a ** 3 / 8.0
+    r = d - a * c / 4.0 + a * a * b / 16.0 - 3.0 * a ** 4 / 256.0
+
+    # resolvent cubic z^3 + 2p z^2 + (p^2 - 4r) z - q^2 = 0; need z >= 0
+    A2 = 2.0 * p
+    A1 = p * p - 4.0 * r
+    A0 = -q * q
+    # depressed cubic w^3 + P w + Q, z = w - A2/3
+    P = A1 - A2 * A2 / 3.0
+    Q = A0 - A1 * A2 / 3.0 + 2.0 * A2 ** 3 / 27.0
+    D = (Q / 2.0) ** 2 + (P / 3.0) ** 3
+
+    def cbrt(x):
+        return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+    sqrtD = jnp.sqrt(jnp.abs(D))
+    w_pos = cbrt(-Q / 2.0 + sqrtD) + cbrt(-Q / 2.0 - sqrtD)
+    # trig branch (three real roots): take the largest
+    Psafe = jnp.where(P < -eps, P, -eps)
+    arg = jnp.clip(3.0 * Q / (2.0 * Psafe) * jnp.sqrt(-3.0 / Psafe),
+                   -1.0, 1.0)
+    w_tri = 2.0 * jnp.sqrt(-Psafe / 3.0) * jnp.cos(jnp.arccos(arg) / 3.0)
+    w = jnp.where(D >= 0, w_pos, w_tri)
+    z = jnp.maximum(w - A2 / 3.0, 0.0)
+
+    alpha = jnp.sqrt(z)
+    tiny_alpha = alpha < 1e-6
+    alpha_s = jnp.where(tiny_alpha, 1.0, alpha)
+    beta = (p + z - q / alpha_s) / 2.0
+    gamma = (p + z + q / alpha_s) / 2.0
+    # biquadratic fallback when alpha ~ 0: y^2 = (-p +/- sqrt(p^2-4r))/2
+    disc_bi = p * p - 4.0 * r
+    y2a = (-p + jnp.sqrt(jnp.abs(disc_bi))) / 2.0
+    y2b = (-p - jnp.sqrt(jnp.abs(disc_bi))) / 2.0
+
+    def quad_roots(A_, B_, C_):
+        disc = B_ * B_ - 4.0 * A_ * C_
+        ok = disc >= 0
+        s = jnp.sqrt(jnp.abs(disc))
+        return (-B_ + s) / (2.0 * A_), (-B_ - s) / (2.0 * A_), ok
+
+    r1, r2, ok12 = quad_roots(1.0, alpha, beta)
+    r3, r4, ok34 = quad_roots(1.0, -alpha, gamma)
+    # biquadratic roots
+    b1 = jnp.sqrt(jnp.maximum(y2a, 0.0))
+    b2 = -b1
+    b3 = jnp.sqrt(jnp.maximum(y2b, 0.0))
+    b4 = -b3
+    okb12 = (disc_bi >= 0) & (y2a >= 0)
+    okb34 = (disc_bi >= 0) & (y2b >= 0)
+
+    y = jnp.where(tiny_alpha, jnp.stack([b1, b2, b3, b4]),
+                  jnp.stack([r1, r2, r3, r4]))
+    ok = jnp.where(tiny_alpha,
+                   jnp.stack([okb12, okb12, okb34, okb34]),
+                   jnp.stack([ok12, ok12, ok34, ok34]))
+    x = y - a / 4.0
+
+    # Newton polish on the original quartic
+    for _ in range(newton_iters):
+        f = (((c4 * x + c3) * x + c2) * x + c1) * x + c0
+        fp = ((4.0 * c4 * x + 3.0 * c3) * x + 2.0 * c2) * x + c1
+        x = x - f / jnp.where(jnp.abs(fp) < eps, eps, fp)
+    return x, ok
+
+
+def _p3p_grunert(sample: jnp.ndarray) -> jnp.ndarray:
+    """(4, 5) rows [X, Y, Z, u, v] -> SE3 (7,) world->cam.
+
+    Grunert's P3P on rows 0-2 (quartic coefficients derived by
+    symbolic resultant elimination), up to 4 solutions; row 3
+    disambiguates by reprojection.  Degenerate samples produce NaN-free
+    garbage poses that simply score zero inliers.
+    """
+    eps = 1e-9
+    Xw = sample[:3, :3]                                   # (3, 3)
+    bear = jnp.concatenate([sample[:, 3:5],
+                            jnp.ones((4, 1))], -1)
+    bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
+    j1, j2, j3 = bear[0], bear[1], bear[2]
+    P1, P2, P3 = Xw[0], Xw[1], Xw[2]
+    a2 = jnp.sum((P2 - P3) ** 2)
+    b2 = jnp.maximum(jnp.sum((P1 - P3) ** 2), eps)
+    c2 = jnp.sum((P1 - P2) ** 2)
+    A = a2 / b2
+    B = c2 / b2
+    ca = jnp.dot(j2, j3)
+    cb = jnp.dot(j1, j3)
+    cg = jnp.dot(j1, j2)
+
+    # quartic in v = s3/s1 (coefficients from sympy resultant)
+    c4 = (A ** 2 - 2 * A * B - 2 * A + B ** 2 - 4 * B * ca ** 2
+          + 2 * B + 1)
+    c3 = (-4 * A ** 2 * cb + 8 * A * B * cb + 4 * A * ca * cg
+          + 4 * A * cb - 4 * B ** 2 * cb + 8 * B * ca ** 2 * cb
+          + 4 * B * ca * cg - 4 * B * cb - 4 * ca * cg)
+    c2_ = (4 * A ** 2 * cb ** 2 + 2 * A ** 2 - 8 * A * B * cb ** 2
+           - 4 * A * B - 8 * A * ca * cb * cg - 4 * A * cg ** 2
+           + 4 * B ** 2 * cb ** 2 + 2 * B ** 2 - 4 * B * ca ** 2
+           - 8 * B * ca * cb * cg + 4 * ca ** 2 + 4 * cg ** 2 - 2)
+    c1 = (-4 * A ** 2 * cb + 8 * A * B * cb + 4 * A * ca * cg
+          + 8 * A * cb * cg ** 2 - 4 * A * cb - 4 * B ** 2 * cb
+          + 4 * B * ca * cg + 4 * B * cb - 4 * ca * cg)
+    c0 = A ** 2 - 2 * A * B - 4 * A * cg ** 2 + 2 * A + B ** 2 - 2 * B + 1
+
+    v_roots, v_ok = _solve_quartic(c4, c3, c2_, c1, c0)   # (4,)
+
+    def pose_from_v(v):
+        # u from eq2: u^2 - 2 u cg + (1 - B(1 + v^2 - 2 v cb)) = 0
+        k = 1.0 - B * (1.0 + v * v - 2.0 * v * cb)
+        disc = jnp.maximum(cg * cg - k, 0.0)
+        u_cands = jnp.stack([cg + jnp.sqrt(disc), cg - jnp.sqrt(disc)])
+        # pick the u satisfying eq1 best
+        eq1 = (u_cands ** 2 + v ** 2 - 2 * u_cands * v * ca
+               - A * (1.0 + v * v - 2.0 * v * cb))
+        u = u_cands[jnp.argmin(jnp.abs(eq1))]
+        denom = jnp.maximum(1.0 + v * v - 2.0 * v * cb, eps)
+        s1 = jnp.sqrt(b2 / denom)
+        s2 = u * s1
+        s3 = v * s1
+        Yc = jnp.stack([s1 * j1, s2 * j2, s3 * j3])       # cam points
+        # rigid alignment world -> cam on the 3 pairs
+        from gslam_tpu.estimation.alignment import umeyama_alignment
+
+        S = umeyama_alignment(Xw, Yc, with_scale=False)
+        T = S[:7]
+        good = (s1 > 0) & (s2 > 0) & (s3 > 0)
+        return T, good
+
+    poses, good = jax.vmap(pose_from_v)(v_roots)          # (4, 7)
+    good = good & v_ok & jnp.isfinite(poses).all(-1)
+    # disambiguate with the 4th row
+    d4 = sample[3:4]
+    errs = jax.vmap(lambda T: pnp_reproj_error(T, d4)[0])(poses)
+    errs = jnp.where(good, errs, jnp.inf)
+    best = jnp.argmin(errs)
+    return jnp.where(jnp.isfinite(errs[best]), poses[best],
+                     se3_make(jnp.zeros(3),
+                              jnp.asarray([1.0, 0.0, 0.0, 0.0])))
 
 
 def pnp_reproj_error(T: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
@@ -116,8 +278,8 @@ def find_pnp_ransac(key, points3d: jnp.ndarray, rays: jnp.ndarray,
     Returns (T (7,), inlier_mask, n_inliers), GN-refined on inliers.
     """
     data = jnp.concatenate([points3d, rays], -1)
-    T, inl, n = run_ransac(key, _dlt_pnp, pnp_reproj_error, data, valid,
-                           min_set=6, threshold=threshold, B=B)
+    T, inl, n = run_ransac(key, _p3p_grunert, pnp_reproj_error, data,
+                           valid, min_set=4, threshold=threshold, B=B)
     T = refine_pose_gn(T, data, inl.astype(jnp.float32),
                        iters=refine_iters)
     err = pnp_reproj_error(T, data)
