@@ -31,13 +31,14 @@ def main() -> None:
     out = track_forward(*args)
     jax.block_until_ready(out)
 
-    n_iter = 30
+    n_iter = 20
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n_iter):
-            out = track_forward(*args)
-        jax.block_until_ready(out)
+            # block every call: honest per-frame latency, not queue
+            # dispatch throughput
+            out = jax.block_until_ready(track_forward(*args))
         dt = (time.perf_counter() - t0) / n_iter
         best = min(best, dt)
 

@@ -1,0 +1,187 @@
+"""CLI: the ``gslam`` binary analog.
+
+Reference surface (``GSLAM/gslam/main.cpp``): ``gslam <app> -dataset
+<path> [svar args]`` with Svar-registered apps — 'qviz' (GUI), 'play'
+(headless run), 'tests' (gtest runner).  Here:
+
+    python -m gslam_tpu play  -dataset seq.synth -slam keyframe
+    python -m gslam_tpu eval  -dataset seq.synth -slam keyframe
+    python -m gslam_tpu viz   -dataset seq.synth -out /tmp/run
+    python -m gslam_tpu bench
+    python -m gslam_tpu tests [pytest args]
+
+The Qt GUI is out of scope for TPU pods (SURVEY section 7 item 8); 'viz'
+is the headless equivalent: trajectory + map export (PLY / PNG).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+import numpy as np
+
+from gslam_tpu.app.config import Svar, svar
+from gslam_tpu.app.registry import APPS, SLAMS, open_dataset
+from gslam_tpu.utils.logging import get_logger
+from gslam_tpu.utils.timer import timer
+
+log = get_logger("cli")
+
+
+def _build_slam(dataset, s: Svar):
+    import gslam_tpu.models  # ensure registry population
+    import gslam_tpu.models.stereo  # noqa: F401
+
+    name = s.arg("slam", "keyframe", "SLAM system (registry name)")
+    kwargs = {}
+    for key in ("max_kps", "fast_threshold", "ba_window", "ba_iters",
+                "cap_frames", "cap_points", "cap_obs"):
+        if f"slam.{key}" in s:
+            kwargs[key] = s[f"slam.{key}"]
+    return SLAMS.create(name, dataset.camera, **kwargs)
+
+
+def _run_sequence(s: Svar):
+    path = s.arg("dataset", "", "dataset path (extension dispatch)")
+    if not path:
+        raise SystemExit("need -dataset <path>")
+    ds = open_dataset(path)
+    if not ds.is_opened():
+        raise SystemExit(f"could not open dataset {path}")
+    slam = _build_slam(ds, s)
+    skip = s.arg("Dataset.Skip", 0, "frames to skip")
+    max_frames = s.arg("Dataset.Max", 0, "max frames (0 = all)")
+    gts, ts = [], []
+    n = 0
+    for i, fr in enumerate(ds):
+        if i < skip:
+            continue
+        with timer.section("app/frame"):
+            slam.track(fr)
+            timer.block(None)
+        if fr.gt_pose is not None:
+            gts.append(fr.gt_pose[:3])
+        ts.append(fr.timestamp)
+        n += 1
+        if max_frames and n >= max_frames:
+            break
+    return ds, slam, np.asarray(ts), (np.stack(gts) if gts else None)
+
+
+@APPS.register("play")
+def app_play(s: Svar) -> int:
+    ds, slam, ts, gt = _run_sequence(s)
+    log.info("tracked %d frames", len(ts))
+    print(timer.table())
+    return 0
+
+
+@APPS.register("eval")
+def app_eval(s: Svar) -> int:
+    from gslam_tpu.eval import evaluate_trajectory
+    from gslam_tpu.eval.report import EvalReport
+
+    ds, slam, ts, gt = _run_sequence(s)
+    traj = None
+    if gt is not None and len(gt) == len(ts):
+        traj = evaluate_trajectory(
+            ts, slam.positions(), ts, gt,
+            with_scale=bool(s.arg("eval.sim3", False,
+                                  "Sim3 (monocular) alignment")))
+    rep = EvalReport(s["dataset"], traj,
+                     extra={"frames": len(ts),
+                            "keyframes": int(slam.arena.n_frames)
+                            if hasattr(slam, "arena") else 0})
+    print(rep.table())
+    out = s.arg("out", "", "write JSON report here")
+    if out:
+        with open(out, "w") as f:
+            f.write(rep.json())
+    return 0
+
+
+@APPS.register("viz")
+def app_viz(s: Svar) -> int:
+    """Headless visualization: PLY map + trajectory, PNG overview."""
+    import os
+
+    ds, slam, ts, gt = _run_sequence(s)
+    out = s.arg("out", "/tmp/gslam_viz", "output prefix")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+
+    pos = slam.positions()
+    # trajectory PLY
+    with open(out + "_traj.ply", "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(pos)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n")
+        for p in pos:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    # map points PLY
+    if hasattr(slam, "arena"):
+        xyz = np.asarray(slam.arena.point_xyz)
+        ok = np.asarray(slam.arena.point_valid)
+        pts = xyz[ok]
+        with open(out + "_map.ply", "w") as f:
+            f.write("ply\nformat ascii 1.0\n"
+                    f"element vertex {len(pts)}\n"
+                    "property float x\nproperty float y\nproperty float z\n"
+                    "end_header\n")
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    # PNG overview
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 6))
+        ax.plot(pos[:, 0], pos[:, 2], "b-", label="estimate")
+        if gt is not None:
+            ax.plot(gt[:, 0], gt[:, 2], "g--", label="ground truth")
+        if hasattr(slam, "arena"):
+            ax.scatter(pts[:, 0], pts[:, 2], s=1, c="gray", alpha=0.4,
+                       label="map")
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("z [m]")
+        ax.legend()
+        ax.set_aspect("equal")
+        fig.savefig(out + ".png", dpi=120)
+        log.info("wrote %s.png", out)
+    except Exception as e:  # matplotlib optional
+        log.warning("no PNG: %s", e)
+    log.info("wrote %s_traj.ply / %s_map.ply", out, out)
+    return 0
+
+
+@APPS.register("bench")
+def app_bench(s: Svar) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+@APPS.register("tests")
+def app_tests(s: Svar) -> int:
+    """gtest-runner analog: run the pytest suite."""
+    import pytest
+
+    return pytest.main(["tests/", "-q"] + sys.argv[3:])
+
+
+def main(argv: List[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    positional = svar.parse_main(argv)
+    if not positional:
+        print(__doc__)
+        print("apps:", APPS.names())
+        return 1
+    app = positional[0]
+    if app not in APPS:
+        print(f"unknown app {app!r}; have {APPS.names()}")
+        return 1
+    return APPS.create(app, svar)

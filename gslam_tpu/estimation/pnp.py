@@ -146,6 +146,32 @@ def _solve_quartic(c4, c3, c2, c1, c0, newton_iters: int = 4
     return x, ok
 
 
+def _align_triad(Pw: jnp.ndarray, Pc: jnp.ndarray) -> jnp.ndarray:
+    """Rigid transform world->cam from 3 exact point pairs (3, 3).
+
+    Builds matching orthonormal frames from the two triangles:
+    R = B_c B_w^T, t = c_c - R c_w.  Exact when the pairs are congruent
+    (the P3P case); degenerate (collinear) samples give garbage that
+    RANSAC scoring rejects.
+    """
+    eps = 1e-12
+
+    def frame(P):
+        u = P[1] - P[0]
+        v = P[2] - P[0]
+        e1 = u / jnp.maximum(jnp.linalg.norm(u), eps)
+        n = jnp.cross(u, v)
+        e3 = n / jnp.maximum(jnp.linalg.norm(n), eps)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=1)  # columns
+
+    Bw = frame(Pw)
+    Bc = frame(Pc)
+    R = Bc @ Bw.T
+    t = Pc[0] - R @ Pw[0]
+    return se3_make(t, matrix_to_quat(R))
+
+
 def _p3p_grunert(sample: jnp.ndarray) -> jnp.ndarray:
     """(4, 5) rows [X, Y, Z, u, v] -> SE3 (7,) world->cam.
 
@@ -201,11 +227,10 @@ def _p3p_grunert(sample: jnp.ndarray) -> jnp.ndarray:
         s2 = u * s1
         s3 = v * s1
         Yc = jnp.stack([s1 * j1, s2 * j2, s3 * j3])       # cam points
-        # rigid alignment world -> cam on the 3 pairs
-        from gslam_tpu.estimation.alignment import umeyama_alignment
-
-        S = umeyama_alignment(Xw, Yc, with_scale=False)
-        T = S[:7]
+        # rigid alignment world -> cam on the 3 exact pairs: closed-form
+        # orthonormal-triad construction (no SVD — batched 3x3 SVD is
+        # slow on TPU and unnecessary for exact minimal triples)
+        T = _align_triad(Xw, Yc)
         good = (s1 > 0) & (s2 > 0) & (s3 > 0)
         return T, good
 

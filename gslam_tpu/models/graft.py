@@ -44,19 +44,44 @@ def track_forward(image: jnp.ndarray, cam_params: jnp.ndarray,
 
 def example_inputs(H: int = 480, W: int = 640, M: int = 2048,
                    max_kps: int = 512):
-    """Deterministic example args for compile checks / benchmarks."""
+    """Deterministic example args for compile checks / benchmarks.
+
+    The local map is built *from the example image itself* (extract
+    once, unproject keypoints at synthetic depths), so matching and PnP
+    operate on a self-consistent problem: the benchmark exercises the
+    full inlier path, not a degenerate zero-inlier RANSAC.
+    """
     import numpy as np
 
     rng = np.random.default_rng(0)
     img = np.full((H, W), 0.1, np.float32)
-    for _ in range(200):
+    for _ in range(600):
         y = rng.integers(8, H - 8)
         x = rng.integers(8, W - 8)
         img[y - 1:y + 2, x - 1:x + 2] = rng.uniform(0.6, 1.0)
-    cam = np.asarray([W * 0.8, W * 0.8, W / 2, H / 2], np.float32)
-    xyz = np.stack([rng.uniform(-2, 2, M), rng.uniform(-1.5, 1.5, M),
-                    rng.uniform(3, 9, M)], -1).astype(np.float32)
-    desc = rng.integers(0, 2**31, (M, 8)).astype(np.uint32)
-    valid = np.ones(M, bool)
+    fx = W * 0.8
+    cam = np.asarray([fx, fx, W / 2, H / 2], np.float32)
+
+    feats = extract_features(jnp.asarray(img), max_kps=max_kps)
+    uv = np.asarray(feats.uv)
+    # synthetic smooth depth field -> 3D map points in the camera frame
+    # of the example view (== world frame for the benchmark)
+    z = 4.0 + 1.5 * np.sin(uv[:, 0] / 90.0) * np.cos(uv[:, 1] / 70.0)
+    x3 = (uv[:, 0] - W / 2) / fx * z
+    y3 = (uv[:, 1] - H / 2) / fx * z
+    xyz = np.zeros((M, 3), np.float32)
+    desc = np.zeros((M, 8), np.uint32)
+    valid = np.zeros(M, bool)
+    k = min(max_kps, M)
+    xyz[:k] = np.stack([x3, y3, z], -1)[:k]
+    desc[:k] = np.asarray(feats.desc)[:k]
+    valid[:k] = np.asarray(feats.valid)[:k]
+    # fill the rest with distractors
+    nrest = M - k
+    xyz[k:] = np.stack([rng.uniform(-2, 2, nrest),
+                        rng.uniform(-1.5, 1.5, nrest),
+                        rng.uniform(3, 9, nrest)], -1)
+    desc[k:] = rng.integers(0, 2**31, (nrest, 8)).astype(np.uint32)
+    valid[k:] = True
     return (jnp.asarray(img), jnp.asarray(cam), jnp.asarray(xyz),
             jnp.asarray(desc), jnp.asarray(valid), jax.random.PRNGKey(0))

@@ -27,7 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gslam_tpu.core.se3 import se3_exp, se3_mul
@@ -146,12 +146,16 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
                             jnp.eye(6)[None])
             bc = bc * cam_free[:, None]
 
-            # dense local W (6C, 3P_local) and Schur partial
+            # dense local W (6C, 3P_local): per-point W blocks are sums
+            # over ALL of the point's observations, so the 'obs'-shard
+            # partials must be psum'd BEFORE the Schur product (the
+            # product has cross-pairs between obs on different shards)
             W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
             Wd = jnp.zeros((C, 6, Pl, 3)).at[
                 obs_cam.reshape(-1), :,
                 jnp.repeat(jnp.arange(Pl), Ol), :].add(
                 W_e.reshape(-1, 6, 3))
+            Wd = jax.lax.psum(Wd, "obs")
             Wf = Wd.reshape(C * 6, Pl * 3)
             Y = jnp.einsum("cpq,pqr->cpr", Wd.reshape(C * 6, Pl, 3),
                            Hpp_inv)
@@ -159,8 +163,9 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
             S_part = jnp.dot(Yf, Wf.T,
                              preferred_element_type=jnp.float32)
             b_part = Yf @ bp.reshape(-1)
-            S_red = jax.lax.psum(S_part, ("pt", "obs"))
-            b_red = jax.lax.psum(b_part, ("pt", "obs"))
+            # Wd is now replicated over 'obs': reduce over 'pt' only
+            S_red = jax.lax.psum(S_part, "pt")
+            b_red = jax.lax.psum(b_part, "pt")
 
             ii = jnp.arange(C)
             rows = jnp.broadcast_to(
@@ -204,7 +209,7 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
         return cam_pose, point_xyz, jnp.concatenate([cost0[None], costs])
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     cam_pose, point_xyz, costs = fn(
         prob.cam_pose, prob.point_xyz, prob.point_fixed, prob.obs_cam,
         prob.obs_uv, prob.obs_valid, prob.obs_weight)

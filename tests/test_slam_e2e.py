@@ -1,0 +1,181 @@
+"""End-to-end SLAM tests with ATE gates on synthetic sequences.
+
+These are the offline analogs of the BASELINE configs (no real dataset
+downloads in this environment): config #1 (odometry), #2 (keyframe SLAM
++ local BA), stereo frontend, checkpoint/resume (SURVEY 5.4), and the
+fused tracking step used by bench/__graft_entry__.
+
+Sequences are kept short; ATE gates are deliberately loose bounds that
+still catch structural regressions (they fail badly if tracking or
+geometry breaks — cf. the P3P planar-degeneracy bug this suite now
+pins).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslam_tpu.datasets.synthetic import SyntheticDataset
+from gslam_tpu.eval import evaluate_trajectory
+from gslam_tpu.map.arena import arena_stats, load_arena, save_arena
+from gslam_tpu.models.keyframe_slam import KeyframeSLAM, SLAMConfig
+from gslam_tpu.models.odometry import FrameToFrameOdometry
+
+N_FRAMES = 12
+SMALL = dict(n_frames=N_FRAMES, n_points=300, width=192, height=144,
+             motion="line", depth=True)
+CFG = dict(max_kps=192, fast_threshold=0.1, ba_window=4, ba_points=256,
+           ba_iters=3, cap_frames=32, cap_points=2048, cap_obs=8192,
+           local_map_size=384)
+
+
+def run_sequence(slam, ds):
+    gts, ts = [], []
+    for fr in ds:
+        slam.track(fr)
+        gts.append(fr.gt_pose[:3])
+        ts.append(fr.timestamp)
+    return evaluate_trajectory(np.asarray(ts), slam.positions(),
+                               np.asarray(ts), np.stack(gts),
+                               with_scale=False)
+
+
+def make_ds(**overrides):
+    ds = SyntheticDataset(**{**SMALL, **overrides})
+    ds.open("synth://")
+    return ds
+
+
+class TestOdometryE2E:
+    def test_depth_odometry_ate(self):
+        """Config #1 analog: detect+match+PnP odometry, metric."""
+        ds = make_ds()
+        odom = FrameToFrameOdometry(ds.camera, max_kps=192,
+                                    fast_threshold=0.1)
+        m = run_sequence(odom, ds)
+        assert m.n_matched == N_FRAMES
+        assert m.ate_rmse < 0.10  # ~1% of trajectory scale
+
+    def test_tracks_most_frames(self):
+        ds = make_ds()
+        odom = FrameToFrameOdometry(ds.camera, max_kps=192,
+                                    fast_threshold=0.1)
+        run_sequence(odom, ds)
+        tracked = [s for s in odom.stats if s["n_inliers"] >= 10]
+        assert len(tracked) >= N_FRAMES - 2
+
+
+class TestKeyframeSLAME2E:
+    def test_slam_ate_beats_loose_gate(self):
+        """Config #2 analog: keyframe SLAM + local BA, ATE gate."""
+        ds = make_ds()
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        m = run_sequence(slam, ds)
+        assert m.ate_rmse < 0.05
+        st = arena_stats(slam.arena)
+        assert st["valid_frames"] >= 1 and st["valid_points"] > 50
+
+    def test_tracking_stable(self):
+        ds = make_ds()
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        run_sequence(slam, ds)
+        inl = [s["n_inliers"] for s in slam.stats[1:]]
+        assert min(inl) >= 20  # no tracking collapse
+
+    def test_map_checkpoint_resume(self, tmp_path):
+        """SURVEY 5.4: the arena pytree IS the checkpoint."""
+        ds = make_ds()
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        frames = list(ds)
+        for fr in frames[:6]:
+            slam.track(fr)
+        p = str(tmp_path / "ckpt.npz")
+        save_arena(slam.arena, p)
+
+        arena2 = load_arena(p)
+        assert arena_stats(arena2) == arena_stats(slam.arena)
+        # resume: a new SLAM instance continues on the loaded map
+        slam2 = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        slam2.arena = arena2
+        slam2.initialized = True
+        slam2.last_kf_id = int(arena2.n_frames) - 1
+        slam2.pose_wc = slam.pose_wc
+        slam2.velocity = slam.velocity
+        for fr in frames[6:8]:
+            slam2.track(fr)
+        assert slam2.stats[-1]["n_inliers"] >= 20
+
+
+class TestStereoE2E:
+    def test_stereo_depth_from_pair(self):
+        """Stereo matching recovers depth on a rendered stereo pair."""
+        from gslam_tpu.ops.frontend import extract_features
+        from gslam_tpu.ops.stereo import match_stereo, stereo_depth
+
+        ds = make_ds(n_points=400)
+        fr = ds.grab_frame()
+        # synthesize the right view by re-rendering from a shifted cam
+        baseline = 0.2
+        ds_r = make_ds(n_points=400)
+        fr_l = fr
+        # right camera: shift all world points by -baseline in cam x
+        # (line motion, identity rotation at frame 0 => world == cam
+        # up to t); easier: render frame from dataset with camera moved
+        img_r = np.zeros_like(fr_l.image)
+        cam = ds.camera
+        X = ds.X  # world points
+        R_wc = np.eye(3)
+        t_wc = np.array([baseline, 0.0, 0.0])  # right of cam0
+        pc = X - t_wc
+        u = cam.fx * pc[:, 0] / pc[:, 2] + cam.cx
+        v = cam.fy * pc[:, 1] / pc[:, 2] + cam.cy
+        ui, vi = np.round(u).astype(int), np.round(v).astype(int)
+        ok = (pc[:, 2] > 0.5) & (ui >= 2) & (ui < img_r.shape[1] - 2) \
+            & (vi >= 2) & (vi < img_r.shape[0] - 2)
+        img_r += 0.08 + 0.04 * np.linspace(0, 1, img_r.shape[1])[None, :]
+        for j in np.nonzero(ok)[0]:
+            img_r[vi[j] - 1:vi[j] + 2, ui[j] - 1:ui[j] + 2] = ds.I[j]
+
+        fl = extract_features(jnp.asarray(fr_l.image), max_kps=192,
+                              threshold=0.1)
+        frt = extract_features(jnp.asarray(img_r.astype(np.float32)),
+                               max_kps=192, threshold=0.1)
+        disp, ok_m = match_stereo(fl.desc, fl.valid, fl.uv,
+                                  frt.desc, frt.valid, frt.uv)
+        depth = np.asarray(stereo_depth(disp, ok_m, cam.fx, baseline))
+        okn = np.asarray(ok_m)
+        assert okn.sum() >= 30
+        # compare against rendered depth image at those keypoints
+        uv = np.asarray(fl.uv)[okn].astype(int)
+        gt_depth = fr_l.depth[uv[:, 1], uv[:, 0]]
+        good = gt_depth > 0
+        rel = np.abs(depth[okn][good] - gt_depth[good]) / gt_depth[good]
+        # disparity quantization from integer-pixel dot rendering bounds
+        # accuracy; median within ~8% is correct behavior here
+        assert np.median(rel) < 0.08
+
+
+class TestFusedTrackingStep:
+    def test_graft_entry_compiles_and_runs(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        ge = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ge)
+        fn, args = ge.entry()
+        T, n, count = jax.block_until_ready(fn(*args))
+        assert T.shape == (7,)
+        assert int(count) > 50  # features found in the example image
+
+    def test_dryrun_multichip_8(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", "/root/repo/__graft_entry__.py")
+        ge = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ge)
+        ge.dryrun_multichip(8)
