@@ -16,13 +16,18 @@ BASELINE.md).  vs_baseline = fps / 30.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gslam_jax_cache")
 
 BASELINE_FPS = 30.0
 
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from gslam_tpu.models.graft import example_inputs, track_forward
 

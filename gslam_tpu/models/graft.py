@@ -62,7 +62,12 @@ def example_inputs(H: int = 480, W: int = 640, M: int = 2048,
     fx = W * 0.8
     cam = np.asarray([fx, fx, W / 2, H / 2], np.float32)
 
-    feats = extract_features(jnp.asarray(img), max_kps=max_kps)
+    # build the example map on the CPU backend: benchmark/compile-check
+    # consumers then only compile ONE graph (track_forward) for the
+    # accelerator — compiles are expensive on remote-compile backends
+    with jax.default_device(jax.devices("cpu")[0]):
+        feats = extract_features(jnp.asarray(img), max_kps=max_kps)
+        feats = jax.tree_util.tree_map(np.asarray, feats)
     uv = np.asarray(feats.uv)
     # synthetic smooth depth field -> 3D map points in the camera frame
     # of the example view (== world frame for the benchmark)

@@ -34,6 +34,10 @@ class PoseGraph(NamedTuple):
     edge_rel: jnp.ndarray    # (E, 7|8) measured Z_ij ~= T_i * T_j^-1
     edge_valid: jnp.ndarray  # (E,) bool
     edge_weight: jnp.ndarray  # (E,) information scale
+    # optional unary position priors (GPS edges — reference GPS prior
+    # edges in Optimizer.h; ENU meters on the camera *center*)
+    prior_pos: jnp.ndarray | None = None     # (N, 3)
+    prior_weight: jnp.ndarray | None = None  # (N,) 0 = no prior
 
 
 def _group_ops(mode: str):
@@ -46,6 +50,13 @@ def _group_ops(mode: str):
     raise ValueError(f"mode must be se3|sim3, got {mode}")
 
 
+def _cam_center(poses: jnp.ndarray) -> jnp.ndarray:
+    """Camera centers (N, 3) of world->cam poses: c = -R^T t."""
+    from gslam_tpu.core.so3 import quat_conj, quat_rotate
+
+    return -quat_rotate(quat_conj(poses[..., 3:7]), poses[..., :3])
+
+
 def pose_graph_cost(g: PoseGraph, mode: str = "se3") -> jnp.ndarray:
     ops = _group_ops(mode)
     Ti = g.poses[g.edge_i]
@@ -53,7 +64,12 @@ def pose_graph_cost(g: PoseGraph, mode: str = "se3") -> jnp.ndarray:
     r = ops["log"](ops["mul"](ops["inv"](g.edge_rel),
                               ops["mul"](Ti, ops["inv"](Tj))))
     r2 = jnp.sum(r * r, -1) * g.edge_weight
-    return jnp.sum(jnp.where(g.edge_valid, r2, 0.0))
+    cost = jnp.sum(jnp.where(g.edge_valid, r2, 0.0))
+    if g.prior_pos is not None:
+        pr = _cam_center(g.poses) - g.prior_pos
+        cost = cost + jnp.sum(g.prior_weight
+                              * jnp.sum(pr * pr, -1))
+    return cost
 
 
 @partial(jax.jit, static_argnames=("mode", "iters"))
@@ -104,6 +120,21 @@ def optimize_pose_graph(g: PoseGraph, mode: str = "se3", iters: int = 20,
         b = jnp.zeros((N, d))
         b = b.at[g.edge_i].add(jnp.einsum("eab,ea->eb", Ji * w, r))
         b = b.at[g.edge_j].add(jnp.einsum("eab,ea->eb", Jj * w, r))
+
+        if g.prior_pos is not None:
+            # unary GPS prior on camera centers: residual c(T) - pos,
+            # Jacobian wrt the node tangent by jacfwd (batched)
+            def prior_res(xi, T, pos):
+                Tp = ops["mul"](ops["exp"](xi), T)
+                return _cam_center(Tp[None])[0] - pos
+
+            Jp = jax.vmap(lambda T, pos: jax.jacfwd(prior_res, 0)(
+                zero, T, pos))(poses, g.prior_pos)       # (N, 3, d)
+            rp = _cam_center(poses) - g.prior_pos        # (N, 3)
+            wp = (g.prior_weight * free)[:, None, None]
+            H = H.at[jnp.arange(N), jnp.arange(N)].add(
+                jnp.einsum("nab,nac->nbc", Jp * wp, Jp))
+            b = b + jnp.einsum("nab,na->nb", Jp * wp, rp)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(N * d, N * d)
         # damping + pin fixed nodes

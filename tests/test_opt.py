@@ -220,3 +220,56 @@ class TestPoseGraph:
         assert float(costs[-1]) < float(costs[0]) * 0.1
         # scales stay near 1 (no scale drift injected)
         assert np.allclose(np.asarray(out.poses[:, 7]), 1.0, atol=0.05)
+
+
+class TestGPSPriors:
+    def test_gps_priors_pull_drifted_graph(self, rng):
+        """GPS edges (unary position priors) correct odometry drift."""
+        g, gt = ring_pose_graph(rng, N=10, drift=0.05)
+        # priors: true camera centers (= -R^T t) on every node
+        from gslam_tpu.opt.pose_graph import _cam_center
+
+        centers_gt = np.asarray(_cam_center(jnp.asarray(gt)))
+        g = g._replace(
+            prior_pos=jnp.asarray(centers_gt),
+            prior_weight=jnp.full(10, 10.0),
+            # drop the loop edge influence to show priors alone work
+            edge_weight=g.edge_weight.at[-1].set(0.0),
+            edge_valid=g.edge_valid.at[-1].set(False))
+        out, costs = optimize_pose_graph(g, iters=15)
+        c_out = np.asarray(_cam_center(out.poses))
+        err = np.linalg.norm(c_out - centers_gt, axis=1)
+        c_in = np.asarray(_cam_center(g.poses))
+        err_in = np.linalg.norm(c_in - centers_gt, axis=1)
+        assert err.mean() < err_in.mean() * 0.3
+
+    def test_imu_preintegration_constant_accel(self):
+        from gslam_tpu.core.imu import preintegrate
+
+        # constant accel 1 m/s^2 in x, no rotation, 1 s at 100 Hz
+        M = 100
+        t = np.arange(M) / 100.0
+        samples = np.zeros((M, 7), np.float32)
+        samples[:, 0] = t
+        samples[:, 1] = 1.0
+        d = preintegrate(jnp.asarray(samples), jnp.ones(M, bool))
+        assert abs(float(d.dt) - 0.99) < 1e-3
+        assert abs(float(d.dv[0]) - 0.99) < 0.02  # v = a t
+        assert abs(float(d.dp[0]) - 0.49) < 0.02  # p = a t^2 / 2
+        np.testing.assert_allclose(np.asarray(d.dq), [1, 0, 0, 0],
+                                   atol=1e-5)
+
+    def test_imu_preintegration_rotation(self):
+        from gslam_tpu.core.imu import preintegrate
+
+        # constant yaw rate pi/2 rad/s for 1 s -> 90 degrees
+        M = 200
+        t = np.arange(M) / 200.0
+        samples = np.zeros((M, 7), np.float32)
+        samples[:, 0] = t
+        samples[:, 6] = np.pi / 2
+        d = preintegrate(jnp.asarray(samples), jnp.ones(M, bool))
+        from gslam_tpu.core.so3 import so3_log
+
+        ang = np.asarray(so3_log(d.dq))
+        assert abs(ang[2] - np.pi / 2 * 0.995) < 0.02
