@@ -97,12 +97,12 @@ class KITTIDataset(Dataset):
     def _grab(self, idx: int) -> Optional[FrameData]:
         if idx >= len(self.left):
             return None
-        from PIL import Image
+        from gslam_tpu.datasets.tum_rgbd import imread_gray_f32
 
-        gray = to_gray_f32(np.asarray(Image.open(self.left[idx])))
+        gray = imread_gray_f32(self.left[idx])
         right = None
         if idx < len(self.right):
-            right = to_gray_f32(np.asarray(Image.open(self.right[idx])))
+            right = imread_gray_f32(self.right[idx])
         gt = self.gt[idx] if self.gt is not None and idx < len(self.gt) \
             else None
         return FrameData(id=idx, timestamp=float(self.times[idx]),

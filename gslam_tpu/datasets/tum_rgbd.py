@@ -63,6 +63,19 @@ def _imread(path: str) -> np.ndarray:
     return np.asarray(Image.open(path))
 
 
+def imread_gray_f32(path: str) -> np.ndarray:
+    """Grayscale f32 decode, native C++ fast path with PIL fallback."""
+    from gslam_tpu.datasets import native_loader
+
+    if native_loader.available():
+        out = native_loader.decode_gray_f32(path)
+        if out is not None:
+            return out
+    from gslam_tpu.core.image import to_gray_f32
+
+    return to_gray_f32(_imread(path))
+
+
 def _nearest(ts_list: np.ndarray, t: float, max_dt: float
              ) -> Optional[int]:
     if len(ts_list) == 0:

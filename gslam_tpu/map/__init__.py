@@ -13,5 +13,6 @@ incidence matrix.
 from gslam_tpu.map.arena import (
     MapArena, make_arena, insert_frame, insert_points, add_observations,
     erase_frame, erase_points, covisibility_matrix, covisibility_topk,
-    frame_point_ids, save_arena, load_arena, arena_stats,
+    frame_point_ids, save_arena, load_arena, arena_stats, cull_points,
+    compact_arena,
 )

@@ -313,6 +313,62 @@ def frame_point_ids(arena: MapArena, frame_id: jnp.ndarray,
     return pts[:max_points].astype(jnp.int32)
 
 
+def cull_points(arena: MapArena, min_obs: int = 2,
+                min_age_frames: int = 3) -> MapArena:
+    """Erase low-quality landmarks (standard SLAM map maintenance):
+    points older than `min_age_frames` keyframes that never accumulated
+    `min_obs` observations.  One masked update, jit-safe."""
+    obs_count = jnp.zeros((arena.cap_points,), jnp.int32).at[
+        arena.obs_point].add(arena.obs_valid.astype(jnp.int32))
+    age = arena.n_frames - arena.point_ref_frame
+    bad = (arena.point_valid & (obs_count < min_obs)
+           & (age >= min_age_frames))
+    pv = arena.point_valid & ~bad
+    ov = arena.obs_valid & pv[arena.obs_point]
+    return arena.replace(point_valid=pv, obs_valid=ov)
+
+
+def compact_arena(arena: MapArena) -> Tuple[MapArena, jnp.ndarray]:
+    """Reclaim erased point/observation slots (host-side maintenance).
+
+    Valid points move to the front (stable order); the observation edge
+    list is rewritten with remapped point ids and compacted likewise.
+    Returns (arena, old_to_new point id map; -1 for erased).  Frame
+    slots are never moved (frame ids are stable handles).
+    """
+    P = arena.cap_points
+    order = jnp.argsort(~arena.point_valid, stable=True)
+    n_new = arena.point_valid.sum().astype(jnp.int32)
+    old2new = jnp.full((P,), -1, jnp.int32).at[order].set(
+        jnp.arange(P, dtype=jnp.int32))
+    old2new = jnp.where(arena.point_valid, old2new, -1)
+
+    def take(buf):
+        return buf[order]
+
+    # remap + compact observations
+    new_pt = jnp.where(arena.obs_valid, old2new[arena.obs_point], -1)
+    ov = arena.obs_valid & (new_pt >= 0)
+    oorder = jnp.argsort(~ov, stable=True)
+    n_obs = ov.sum().astype(jnp.int32)
+
+    arena = arena.replace(
+        point_xyz=take(arena.point_xyz),
+        point_normal=take(arena.point_normal),
+        point_color=take(arena.point_color),
+        point_desc=take(arena.point_desc),
+        point_valid=take(arena.point_valid),
+        point_ref_frame=take(arena.point_ref_frame),
+        obs_frame=arena.obs_frame[oorder],
+        obs_point=new_pt.clip(0)[oorder],
+        obs_kp=arena.obs_kp[oorder],
+        obs_valid=ov[oorder],
+        n_points=n_new,
+        n_obs=n_obs,
+    )
+    return arena, old2new
+
+
 # ---------------------------------------------------------------------------
 # save / load / stats (reference Map::save / Map::load)
 

@@ -288,16 +288,25 @@ def brief_descriptors(img_blur: jnp.ndarray, uv: jnp.ndarray,
 # full extraction
 
 
-@partial(jax.jit, static_argnames=("max_kps", "threshold"))
+@partial(jax.jit, static_argnames=("max_kps", "threshold", "use_pallas"))
 def extract_features(img: jnp.ndarray, max_kps: int = 512,
-                     threshold: float = 0.06) -> Features:
+                     threshold: float = 0.06,
+                     use_pallas: bool = False) -> Features:
     """Single-scale ORB-style extraction (pyramid handled by caller).
 
     detect (FAST+NMS) -> select top-K -> orient (centroid) -> describe
     (rotated BRIEF on blurred image).  One fused jitted graph.
+    ``use_pallas=True`` swaps the detector for the fused Pallas kernel
+    (TPU-compiled path; the jnp reference remains the gold).
     """
-    raw = fast_score(img, threshold)
-    score = nms(raw)
+    if use_pallas:
+        from gslam_tpu.ops.pallas.fastnms import fast_nms_pallas
+
+        raw = fast_score(img, threshold)  # raw map for subpixel interp
+        score = fast_nms_pallas(img, threshold=threshold)
+    else:
+        raw = fast_score(img, threshold)
+        score = nms(raw)
     uv, val, valid, count = select_keypoints(score, max_kps=max_kps,
                                              raw_score=raw)
     angle = compute_orientations(img, uv)

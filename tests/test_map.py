@@ -192,3 +192,38 @@ class TestPersistJit:
         a = step(mk(), jnp.ones((4, 3)))
         st = arena_stats(a)
         assert st == {**st, "n_frames": 1, "n_points": 4, "valid_obs": 4}
+
+
+class TestMaintenance:
+    def test_cull_points(self):
+        from gslam_tpu.map import cull_points
+
+        a = TestEraseAndCovis().build()
+        # advance frame counter so ages pass the gate
+        a = a.replace(n_frames=jnp.asarray(10, jnp.int32))
+        before = arena_stats(a)["valid_points"]
+        out = cull_points(a, min_obs=2, min_age_frames=0)
+        st = arena_stats(out)
+        # pts 0-3 have 2 obs (f0+f1), pts 4-5 have 2 obs (f1+f2): all stay
+        assert st["valid_points"] == before
+        out2 = cull_points(a, min_obs=3, min_age_frames=0)
+        assert arena_stats(out2)["valid_points"] == 0
+
+    def test_compact_after_erase(self):
+        from gslam_tpu.map import compact_arena
+
+        a = TestEraseAndCovis().build()
+        a = erase_points(a, jnp.asarray([0, 2]))
+        xyz_before = np.array(a.point_xyz)
+        a2, old2new = compact_arena(a)
+        st = arena_stats(a2)
+        assert st["valid_points"] == 4 and st["n_points"] == 4
+        o2n = np.asarray(old2new)
+        assert o2n[0] == -1 and o2n[2] == -1
+        # surviving points keep their data at remapped slots
+        for old in (1, 3, 4, 5):
+            np.testing.assert_array_equal(
+                np.asarray(a2.point_xyz[o2n[old]]), xyz_before[old])
+        # covisibility preserved under remap
+        C = np.asarray(covisibility_matrix(a2))
+        assert C[0, 1] == 2 and C[1, 2] == 2
