@@ -37,15 +37,19 @@ def _pose_cam_to_world(motion: str, i: int, n: int, radius: float):
         t = np.array([0.08 * i, 0.0, 0.0])
         yaw = 0.0
     elif motion == "ring":
-        a = 2 * np.pi * i / n
-        t = np.array([radius * np.sin(a), 0.0, radius * (1 - np.cos(a))])
-        yaw = a
-    else:  # orbit: look at the world center from a circle
-        a = 2 * np.pi * i / max(n, 1) * 0.5  # half circle
+        # full circle looking at the world center: revisits the start
+        # (loop-closure test geometry)
+        a = 2 * np.pi * i / max(n, 1)
         t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
-        yaw = a
+        yaw = -a
+    else:  # orbit: look at the world center from a half circle
+        a = 2 * np.pi * i / max(n, 1) * 0.5
+        t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
+        yaw = -a
     cy, sy = np.cos(yaw), np.sin(yaw)
-    # camera z axis points toward +z world rotated by yaw about y
+    # camera z axis in world = [sin(yaw)? no: column 3 of R_wc] =
+    # [sy, 0, cy]; with yaw = -a this is the look-at-center direction
+    # [-sin a, 0, cos a] for a camera at radius*(sin a, 0, -cos a)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
     return R_wc, t
 

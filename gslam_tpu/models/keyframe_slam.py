@@ -67,7 +67,10 @@ class SLAMConfig:
     gate_radius_px: float = 40.0   # search-by-projection window
     dedup_radius_px: float = 4.0   # no new point near an existing one
     pnp_px_threshold: float = 2.0  # RANSAC inlier gate (pixels)
-    min_track_inliers: int = 10
+    min_track_inliers: int = 12
+    max_pose_jump: float = 1.0     # reject PnP poses further than this
+    #                                from the motion-model prediction (m)
+    max_lost_frames: int = 5       # coast this long before re-anchoring
     cap_frames: int = 256
     cap_points: int = 16384
     cap_obs: int = 65536
@@ -140,20 +143,35 @@ class KeyframeSLAM:
             self._initialize(frame, feats)
         else:
             pose_cw, n_matches, n_inliers = self._track_local_map(feats)
-            if n_inliers >= c.min_track_inliers:
+            # sanity gate: a "consistent" RANSAC solution far from the
+            # motion-model prediction is a repetitive-texture alias —
+            # reject it rather than teleporting the map
+            pred_cw = se3_mul(self.velocity, se3_inverse(self.pose_wc))
+            jump = float(jnp.linalg.norm(
+                se3_inverse(pose_cw)[:3] - se3_inverse(pred_cw)[:3]))
+            ok = (n_inliers >= c.min_track_inliers
+                  and jump <= c.max_pose_jump)
+            if ok:
                 new_pose_wc = se3_inverse(pose_cw)
                 # motion model: T_cw(t) o T_cw(t-1)^-1
-                self.velocity = se3_mul(
-                    pose_cw, self.pose_wc)
+                self.velocity = se3_mul(pose_cw, self.pose_wc)
                 self.pose_wc = new_pose_wc
                 self.frames_since_kf += 1
+                self._lost_frames = 0
                 if self._need_keyframe(n_inliers, n_matches):
                     self._insert_keyframe(frame, feats, pose_cw)
             else:
-                # tracking weak: fall back to keyframe insertion to
-                # re-anchor (reference: relocalization would go here)
-                self._insert_keyframe(frame, feats,
-                                      se3_inverse(self.pose_wc))
+                # lost: coast on the motion model (don't corrupt the
+                # map with a keyframe at an uncertain pose); try BoW
+                # relocalization when a vocabulary is loaded; after
+                # max_lost_frames, re-anchor with a fresh keyframe
+                self._lost_frames = getattr(self, "_lost_frames", 0) + 1
+                self.pose_wc = se3_inverse(pred_cw)
+                if not self._relocalize(feats):
+                    if self._lost_frames > c.max_lost_frames:
+                        self._insert_keyframe(frame, feats,
+                                              se3_inverse(self.pose_wc))
+                        self._lost_frames = 0
 
         self._prev_feats = feats
         self._prev_frame = frame
@@ -339,6 +357,41 @@ class KeyframeSLAM:
                     self.pose_wc = se3_inverse(
                         self.arena.frame_pose[fid][:7])
                     self.velocity = se3_identity()
+
+    def _relocalize(self, feats: Features) -> bool:
+        """BoW relocalization after tracking loss (reference: the
+        relocalization module of SLAM plugins): query the keyframe
+        database with the current frame's BoW, PnP-verify against the
+        best candidate's landmarks, and reset pose + motion model."""
+        if self.loop_closer is None or int(self.arena.n_frames) < 2:
+            return False
+        from gslam_tpu.ops.vocab import score_l2, transform
+
+        bow, _ = transform(self.loop_closer.voc, feats.desc, feats.valid)
+        db = jnp.asarray(self.loop_closer.bow_db[:self.loop_closer.n_kf])
+        if db.shape[0] == 0:
+            return False
+        scores = np.asarray(score_l2(bow, db))
+        cand = int(np.argmax(scores))
+        if scores[cand] < self.loop_closer.min_score:
+            return False
+        pids = frame_point_ids(self.arena, jnp.asarray(cand),
+                               self.cfg.local_map_size)
+        ok = (pids >= 0) & self.arena.point_valid[pids.clip(0)]
+        xyz = self.arena.point_xyz[pids.clip(0)]
+        pdesc = self.arena.point_desc[pids.clip(0)]
+        m = match_descriptors(pdesc, ok, feats.desc, feats.valid,
+                              ratio=0.9)
+        rays = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
+        thr = (self.cfg.pnp_px_threshold / self.camera.fx) ** 2
+        T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays, m.valid,
+                                    threshold=thr)
+        if int(n) < 2 * self.cfg.min_track_inliers:
+            return False
+        self.pose_wc = se3_inverse(T)
+        self.velocity = se3_identity()
+        self._lost_frames = 0
+        return True
 
     def _near_existing_point(self, kp_uv: jnp.ndarray, pose_cw
                              ) -> jnp.ndarray:

@@ -51,20 +51,18 @@ class LoopCloser:
         self.bow_db[kf_id] = np.asarray(bow)
         self.n_kf = max(self.n_kf, kf_id + 1)
 
-    def detect(self, kf_id: int) -> Optional[int]:
-        """Best loop candidate for kf_id, or None."""
+    def detect(self, kf_id: int, top_k: int = 3) -> list:
+        """Loop candidates for kf_id, best first (possibly empty)."""
         if self.n_kf <= self.min_gap:
-            return None
+            return []
         q = jnp.asarray(self.bow_db[kf_id])
         db = jnp.asarray(self.bow_db[:self.n_kf])
-        scores = np.asarray(score_l2(q, db))
+        scores = np.array(score_l2(q, db))
         # mask out temporally-near keyframes
         lo = max(0, kf_id - self.min_gap)
         scores[lo:] = -1.0
-        best = int(np.argmax(scores))
-        if scores[best] < self.min_score:
-            return None
-        return best
+        order = np.argsort(-scores)[:top_k]
+        return [int(i) for i in order if scores[i] >= self.min_score]
 
     def verify(self, arena: MapArena, camera, kf_id: int, cand_id: int,
                max_points: int = 512
@@ -80,7 +78,7 @@ class LoopCloser:
         pdesc = arena.point_desc[pids.clip(0)]
         fdesc = arena.frame_desc[kf_id]
         fvalid = jnp.arange(fdesc.shape[0]) < arena.frame_kp_count[kf_id]
-        m = match_descriptors(pdesc, ok, fdesc, fvalid, ratio=0.85)
+        m = match_descriptors(pdesc, ok, fdesc, fvalid, ratio=0.9)
         uv = arena.frame_kp_uv[kf_id][m.idx.clip(0)]
         rays = camera.unproject(uv)[:, :2]
         thr = (2.0 / camera.fx) ** 2
@@ -93,10 +91,12 @@ class LoopCloser:
     def close(self, arena: MapArena, camera, kf_id: int
               ) -> Tuple[MapArena, bool]:
         """Detect + verify + pose-graph correct.  Returns (arena, did)."""
-        cand = self.detect(kf_id)
-        if cand is None:
-            return arena, False
-        ver = self.verify(arena, camera, kf_id, cand)
+        ver = None
+        cand = None
+        for cand in self.detect(kf_id):
+            ver = self.verify(arena, camera, kf_id, cand)
+            if ver is not None:
+                break
         if ver is None:
             return arena, False
         T_loop_cw, _ = ver  # pose of kf_id implied by the loop

@@ -17,6 +17,6 @@ lives in :mod:`gslam_tpu.parallel`.
 from gslam_tpu.opt.robust import huber_weight, cauchy_weight, tukey_weight
 from gslam_tpu.opt.ba import (
     BundleProblem, bundle_adjust, build_problem_from_arena, ba_cost,
-    write_back_to_arena,
+    write_back_to_arena, global_bundle_adjust,
 )
 from gslam_tpu.opt.pose_graph import PoseGraph, optimize_pose_graph

@@ -315,6 +315,40 @@ def build_problem_from_arena(arena, cam_ids: jnp.ndarray,
     return problem, obs_valid.any(-1)
 
 
+def global_bundle_adjust(arena, camera, iters: int = 10,
+                         max_cams: int = 64, max_points: int = 4096,
+                         max_obs_per_point: int = 16, mesh=None):
+    """Global BA over the whole arena (reference: full-BundleGraph
+    optimize after loop closure, SURVEY 3.4).
+
+    Extracts every valid keyframe + landmark (up to the given caps,
+    newest first), optimizes with the dense-Schur LM — distributed over
+    `mesh` when given (gslam_tpu.parallel.dist_ba) — and writes back.
+    Keyframe 0 is the gauge.
+    """
+    F = arena.cap_frames
+    cam_ids = jnp.where(jnp.arange(max_cams) < arena.n_frames,
+                        jnp.arange(max_cams), -1).astype(jnp.int32)
+    pt_order = jnp.argsort(~arena.point_valid, stable=True)
+    point_ids = jnp.where(
+        jnp.arange(max_points) < arena.point_valid.sum(),
+        pt_order[:max_points], -1).astype(jnp.int32)
+    fixed = jnp.zeros((max_cams,), bool).at[0].set(True)
+    problem, _ = build_problem_from_arena(
+        arena, cam_ids, point_ids, fixed, camera,
+        max_obs_per_point=max_obs_per_point)
+    if mesh is not None:
+        from gslam_tpu.parallel.dist_ba import distributed_bundle_adjust
+
+        problem, costs = distributed_bundle_adjust(problem, mesh,
+                                                   iters=iters)
+    else:
+        problem, stats = bundle_adjust(problem, iters=iters)
+        costs = stats.cost
+    arena = write_back_to_arena(arena, problem, cam_ids, point_ids)
+    return arena, costs
+
+
 def write_back_to_arena(arena, problem: BundleProblem,
                         cam_ids: jnp.ndarray, point_ids: jnp.ndarray):
     """Write optimized poses/points back into the arena (masked)."""
