@@ -31,21 +31,26 @@ def main() -> None:
 
     from gslam_tpu.models.graft import example_inputs, track_forward
 
-    args = example_inputs()
+    img, cam, xyz, desc, valid, key = example_inputs()
     # compile + warmup
-    out = track_forward(*args)
+    out = track_forward(img, cam, xyz, desc, valid, key)
     jax.block_until_ready(out)
 
-    n_iter = 20
+    # sustained throughput on VARIED inputs (each frame's image and RNG
+    # key differ, like a real sequence), pipelined like a real frame
+    # pump (dispatch ahead, block at the end of the window).  Identical
+    # repeated inputs or per-call blocking would measure the control
+    # plane, not the chip.
+    n_iter = 32
+    imgs = [img + (i * 1e-6) for i in range(n_iter)]
+    keys = [jax.random.fold_in(key, i) for i in range(n_iter)]
+    jax.block_until_ready((imgs, keys))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(0, n_iter, 4):
-            # sustained throughput with bounded (depth-4) pipelining:
-            # overlaps host->device dispatch latency like a real frame
-            # pump does, without unbounded queueing
-            outs = [track_forward(*args) for _ in range(4)]
-            jax.block_until_ready(outs)
+        outs = [track_forward(im, cam, xyz, desc, valid, k)
+                for im, k in zip(imgs, keys)]
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / n_iter
         best = min(best, dt)
 

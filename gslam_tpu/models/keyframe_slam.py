@@ -142,6 +142,21 @@ class KeyframeSLAM:
         if not self.initialized:
             self._initialize(frame, feats)
         else:
+            # gyro-aided motion model: when IMU samples are attached,
+            # refine the rotation part of the constant-velocity
+            # prediction with the preintegrated gyro delta (EuRoC VI)
+            if frame.imu is not None and len(frame.imu) > 1:
+                from gslam_tpu.core.imu import preintegrate
+                from gslam_tpu.core.so3 import quat_conj
+
+                d = preintegrate(jnp.asarray(frame.imu, jnp.float32),
+                                 jnp.ones(len(frame.imu), bool))
+                # velocity = T_cw(t) o T_wc(t-1): its rotation equals
+                # conj(dq) when the IMU delta dq rotates body(t-1) ->
+                # body(t) (camera == IMU frame assumed; extrinsics are
+                # the dataset player's job)
+                self.velocity = self.velocity.at[3:7].set(
+                    quat_conj(d.dq))
             pose_cw, n_matches, n_inliers = self._track_local_map(feats)
             # sanity gate: a "consistent" RANSAC solution far from the
             # motion-model prediction is a repetitive-texture alias —
