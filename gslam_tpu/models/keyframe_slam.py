@@ -53,6 +53,9 @@ from gslam_tpu.utils.timer import timer
 class SLAMConfig:
     max_kps: int = 512
     fast_threshold: float = 0.06
+    n_levels: int = 1              # >1: pyramid (octave) extraction
+    pyramid_scale: float = 1.25
+    use_pallas: bool = False       # fused TPU kernels in the frontend
     local_map_size: int = 2048     # point slab handed to tracking
     ba_window: int = 8             # covisible KFs in local BA
     ba_points: int = 1024
@@ -131,9 +134,18 @@ class KeyframeSLAM:
     def track(self, frame: FrameData) -> np.ndarray:
         c = self.cfg
         with timer.section("slam/extract"):
-            feats = extract_features(jnp.asarray(frame.image),
-                                     max_kps=c.max_kps,
-                                     threshold=c.fast_threshold)
+            if c.n_levels > 1:
+                from gslam_tpu.ops.frontend import extract_features_pyramid
+
+                feats = extract_features_pyramid(
+                    jnp.asarray(frame.image), max_kps=c.max_kps,
+                    threshold=c.fast_threshold, n_levels=c.n_levels,
+                    scale=c.pyramid_scale, use_pallas=c.use_pallas)
+            else:
+                feats = extract_features(jnp.asarray(frame.image),
+                                         max_kps=c.max_kps,
+                                         threshold=c.fast_threshold,
+                                         use_pallas=c.use_pallas)
             timer.block(feats)
         self._cur_kp_depth = self._kp_depths(frame, feats)
 

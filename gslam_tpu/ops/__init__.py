@@ -12,7 +12,8 @@ covisibility as a Gram matrix) and, for the hottest, a Pallas kernel in
 from gslam_tpu.ops.frontend import (
     gaussian_blur, image_pyramid, fast_score, nms, select_keypoints,
     orientation_map, compute_orientations, brief_pattern,
-    brief_descriptors, extract_features, Features,
+    brief_descriptors, extract_features, extract_features_pyramid,
+    Features,
 )
 from gslam_tpu.ops.matching import (
     unpack_descriptors, hamming_matrix, match_descriptors, match_frames,

@@ -315,3 +315,39 @@ def extract_features(img: jnp.ndarray, max_kps: int = 512,
     desc = jnp.where(valid[:, None], desc, 0)
     return Features(uv=uv, score=val, angle=jnp.where(valid, angle, 0.0),
                     desc=desc, valid=valid, count=count)
+
+
+def extract_features_pyramid(img: jnp.ndarray, max_kps: int = 512,
+                             threshold: float = 0.06, n_levels: int = 4,
+                             scale: float = 1.25,
+                             use_pallas: bool = False) -> Features:
+    """Multi-scale ORB-style extraction over an image pyramid.
+
+    Keypoints are budgeted per level in proportion to level area
+    (ORB-style), detected and described at level resolution (scale
+    invariance), and returned with uv mapped back to level-0 pixels.
+    Level index is recoverable from the descriptor budget split; shapes
+    are static per (image shape, n_levels) so each level compiles once.
+    """
+    pyr = image_pyramid(img, n_levels=n_levels, scale=scale)
+    areas = np.asarray([lvl.shape[0] * lvl.shape[1] for lvl in pyr],
+                       np.float64)
+    ks = np.maximum(8, np.round(max_kps * areas / areas.sum())
+                    .astype(int))
+    # fix rounding so sum == max_kps
+    ks[0] += max_kps - int(ks.sum())
+
+    parts = []
+    for l, lvl in enumerate(pyr):
+        f = extract_features(lvl, max_kps=int(ks[l]), threshold=threshold,
+                             use_pallas=use_pallas)
+        s = jnp.float32(scale ** l)
+        parts.append(f._replace(uv=f.uv * s))
+    return Features(
+        uv=jnp.concatenate([p.uv for p in parts]),
+        score=jnp.concatenate([p.score for p in parts]),
+        angle=jnp.concatenate([p.angle for p in parts]),
+        desc=jnp.concatenate([p.desc for p in parts]),
+        valid=jnp.concatenate([p.valid for p in parts]),
+        count=sum(p.count for p in parts),
+    )

@@ -214,3 +214,34 @@ class TestPyramid:
         out = gaussian_blur(img)
         assert abs(float(out[20:44, 20:44].mean())
                    - float(img[20:44, 20:44].mean())) < 0.02
+
+
+class TestPyramidExtraction:
+    def test_multiscale_finds_scaled_features(self, rng):
+        from gslam_tpu.ops.frontend import extract_features_pyramid
+
+        img = jnp.asarray(blob_image(rng, H=160, W=224, n=35))
+        f = extract_features_pyramid(img, max_kps=256, threshold=0.08,
+                                     n_levels=3, scale=1.5)
+        assert f.uv.shape == (256, 2)
+        assert int(f.count) > 30
+        # uv are level-0 coordinates: inside the image
+        uv = np.asarray(f.uv)[np.asarray(f.valid)]
+        assert (uv[:, 0] < 224).all() and (uv[:, 1] < 160).all()
+
+    def test_scale_invariant_matching(self, rng):
+        """A 1.5x-zoomed view still matches via pyramid descriptors."""
+        from gslam_tpu.ops.frontend import extract_features_pyramid
+
+        img = blob_image(rng, H=160, W=224, n=35)
+        zoom = jax.image.resize(jnp.asarray(img), (240, 336), "linear")
+        crop = zoom[40:200, 56:280]  # central 160x224 window
+        f1 = extract_features_pyramid(jnp.asarray(img), max_kps=256,
+                                      threshold=0.08, n_levels=3,
+                                      scale=1.5)
+        f2 = extract_features_pyramid(crop, max_kps=256, threshold=0.08,
+                                      n_levels=3, scale=1.5)
+        m = match_descriptors(f1.desc, f1.valid, f2.desc, f2.valid,
+                              ratio=0.9)
+        # single-scale would struggle at 1.5x; pyramid must find some
+        assert int(m.count) >= 8

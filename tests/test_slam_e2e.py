@@ -179,3 +179,48 @@ class TestFusedTrackingStep:
         ge = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(ge)
         ge.dryrun_multichip(8)
+
+
+class TestPipelineWiring:
+    def test_messenger_pipeline_end_to_end(self):
+        """Reference 3.x dataflow: player -> bus -> SLAM -> bus."""
+        from gslam_tpu.app.messenger import Messenger
+        from gslam_tpu.app.registry import open_dataset
+        from gslam_tpu.datasets.base import DatasetPlayer
+        from gslam_tpu.models.pipeline import (CURFRAME_TOPIC, MAP_TOPIC,
+                                               SLAMPipeline)
+        import json as _json
+        import tempfile, os
+
+        cfg_path = os.path.join(tempfile.mkdtemp(), "p.synth")
+        with open(cfg_path, "w") as f:
+            f.write(_json.dumps({"n_frames": 6, "n_points": 200,
+                                 "width": 160, "height": 120}))
+        ds = open_dataset(cfg_path)
+        bus = Messenger()
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(
+            max_kps=128, fast_threshold=0.1, cap_frames=16,
+            cap_points=1024, cap_obs=4096, local_map_size=256,
+            ba_points=128, ba_window=3))
+        poses = []
+        maps = []
+        bus.subscribe(CURFRAME_TOPIC, 0, poses.append)
+        bus.subscribe(MAP_TOPIC, 0, maps.append)
+        pipe = SLAMPipeline(slam, bus=bus)
+        player = DatasetPlayer(ds, bus=bus, rate=0.0).start()
+        assert pipe.wait(120.0)
+        player.stop()
+        pipe.shutdown()
+        assert len(poses) == 6
+        assert [p["id"] for p in poses] == list(range(6))
+        assert all("pose" in p and p["pose"].shape == (7,) for p in poses)
+        assert len(maps) >= 1  # keyframe map updates published
+
+
+class TestPyramidSLAM:
+    def test_keyframe_slam_with_pyramid(self):
+        ds = make_ds()
+        cfg = SLAMConfig(**{**CFG, "n_levels": 3})
+        slam = KeyframeSLAM(ds.camera, cfg)
+        m = run_sequence(slam, ds)
+        assert m.ate_rmse < 0.08
