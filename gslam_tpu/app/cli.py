@@ -16,8 +16,13 @@ is the headless equivalent: trajectory + map export (PLY / PNG).
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List
+
+# first compile through the TPU tunnel is slow (20-40s+/kernel); the
+# persistent cache makes every later CLI invocation start warm
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gslam_jax_cache")
 
 import numpy as np
 
@@ -46,7 +51,10 @@ def _run_sequence(s: Svar):
     path = s.arg("dataset", "", "dataset path (extension dispatch)")
     if not path:
         raise SystemExit("need -dataset <path>")
-    ds = open_dataset(path)
+    try:
+        ds = open_dataset(path)
+    except (OSError, KeyError) as e:
+        raise SystemExit(f"could not open dataset {path}: {e}")
     if not ds.is_opened():
         raise SystemExit(f"could not open dataset {path}")
     slam = _build_slam(ds, s)
@@ -131,6 +139,12 @@ def app_viz(s: Svar) -> int:
                     "end_header\n")
             for p in pts:
                 f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    # interactive self-contained HTML viewer (qviz analog)
+    from gslam_tpu.app.webviz import export_run_html
+
+    export_run_html(out + ".html", slam, gt=gt,
+                    title=f"gslam_tpu · {s['dataset']}")
+    log.info("wrote %s.html (interactive viewer)", out)
     # PNG overview
     try:
         import matplotlib

@@ -59,6 +59,9 @@ class Svar:
         self._help: Dict[str, str] = {}
 
     # -- dotted-key store ---------------------------------------------------
+    # A key may be BOTH a scalar and a subtree ("-slam keyframe" plus
+    # "-slam.max_kps 128"), like the reference's flat 2.x Svar.  The
+    # scalar lives in the subtree dict under the "" slot.
     def _walk(self, key: str, create: bool) -> Tuple[Dict[str, Any], str]:
         parts = key.split(".")
         node = self._data
@@ -67,7 +70,7 @@ class Svar:
             if not isinstance(nxt, dict):
                 if not create:
                     raise KeyError(key)
-                nxt = {}
+                nxt = {} if nxt is None else {"": nxt}
                 node[p] = nxt
             node = nxt
         return node, parts[-1]
@@ -75,7 +78,11 @@ class Svar:
     def set(self, key: str, value: Any) -> None:
         with self._lock:
             node, leaf = self._walk(key, create=True)
-            node[leaf] = value
+            cur = node.get(leaf)
+            if isinstance(cur, dict) and not isinstance(value, dict):
+                cur[""] = value  # keep existing dotted children
+            else:
+                node[leaf] = value
 
     def get(self, key: str, default: Any = None) -> Any:
         with self._lock:
@@ -83,7 +90,10 @@ class Svar:
                 node, leaf = self._walk(key, create=False)
             except KeyError:
                 return default
-            return node.get(leaf, default)
+            val = node.get(leaf, default)
+            if isinstance(val, dict) and "" in val:
+                return val[""]
+            return val
 
     def __contains__(self, key: str) -> bool:
         sentinel = object()

@@ -68,6 +68,9 @@ def open_dataset(path: str, *args: Any, **kw: Any) -> Any:
 
     ``/data/kitti/00.kitti`` -> the dataset registered under ``"kitti"``.
     """
+    import gslam_tpu.datasets  # noqa: F401 — populate registry (the
+    # reference dlopens libgslam_<ext>.so on demand; we import-on-demand)
+
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else path.lower()
     ds = DATASETS.create(ext)
     ds.open(path, *args, **kw)

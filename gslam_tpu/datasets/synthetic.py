@@ -60,7 +60,7 @@ class SyntheticDataset(Dataset):
         self.cfg = dict(n_frames=60, n_points=300, width=320, height=240,
                         motion="orbit", seed=3, fov_deg=70.0, radius=8.0,
                         depth=True, dot_half=1, world_extent=6.0,
-                        noise=0.0)
+                        noise=0.0, stereo=False, baseline=0.3)
         self.cfg.update(overrides)
 
     def _open(self, path: str) -> bool:
@@ -94,14 +94,10 @@ class SyntheticDataset(Dataset):
     def _length(self) -> int:
         return self.cfg["n_frames"]
 
-    def _grab(self, idx: int) -> Optional[FrameData]:
+    def _render(self, R_wc, t_wc, want_depth: bool):
+        """Splat the world dots as seen from camera pose (R_wc, t_wc)."""
         c = self.cfg
-        if idx >= c["n_frames"]:
-            return None
         H, W = c["height"], c["width"]
-        R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, c["n_frames"],
-                                        c["radius"])
-        # world -> cam
         R_cw = R_wc.T
         t_cw = -R_cw @ t_wc
         pc = self.X @ R_cw.T + t_cw
@@ -115,7 +111,7 @@ class SyntheticDataset(Dataset):
         # FAST threshold)
         img += (0.08 + 0.04 * np.linspace(0, 1, W))[None, :]
         r = c["dot_half"]
-        depth_img = np.zeros((H, W), np.float32) if c["depth"] else None
+        depth_img = np.zeros((H, W), np.float32) if want_depth else None
         ui = np.round(u).astype(np.int64)
         vi = np.round(v).astype(np.int64)
         ok = front & (ui >= r + 1) & (ui < W - r - 1) & (vi >= r + 1) \
@@ -128,7 +124,22 @@ class SyntheticDataset(Dataset):
         if c["noise"] > 0:
             img = img + self.rng.normal(0, c["noise"], img.shape) \
                 .astype(np.float32)
-        img = img.clip(0.0, 1.0).astype(np.float32)
+        return img.clip(0.0, 1.0).astype(np.float32), depth_img
+
+    def _grab(self, idx: int) -> Optional[FrameData]:
+        c = self.cfg
+        if idx >= c["n_frames"]:
+            return None
+        R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, c["n_frames"],
+                                        c["radius"])
+        img, depth_img = self._render(R_wc, t_wc, c["depth"])
+        img_right = None
+        baseline = 0.0
+        if c["stereo"]:
+            baseline = c["baseline"]
+            # rectified right camera: displaced +baseline along camera x
+            t_wc_right = t_wc + R_wc @ np.array([baseline, 0.0, 0.0])
+            img_right, _ = self._render(R_wc, t_wc_right, False)
 
         from gslam_tpu.core.so3 import matrix_to_quat
         import jax.numpy as jnp
@@ -136,7 +147,11 @@ class SyntheticDataset(Dataset):
         q_wc = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))
         gt = np.concatenate([t_wc, q_wc]).astype(np.float32)
         return FrameData(id=idx, timestamp=idx / 30.0, image=img,
-                         camera=self.camera, depth=depth_img, gt_pose=gt)
+                         camera=self.camera, depth=depth_img, gt_pose=gt,
+                         image_right=img_right,
+                         camera_right=self.camera if img_right is not None
+                         else None,
+                         stereo_baseline=baseline)
 
 
 @DATASETS.register("synth")

@@ -164,3 +164,45 @@ class TestTimerMetrics:
         s = m.summary()
         assert s["track_ms"]["mean"] == 6.0
         assert m.column("n_matches") == [100, 120]
+
+
+class TestWebViz:
+    def test_export_html_standalone(self, tmp_path):
+        """qviz analog: self-contained HTML with embedded map/trajectory."""
+        import numpy as np
+
+        from gslam_tpu.app.webviz import export_html, frustum_segments
+
+        traj = np.cumsum(np.ones((20, 3)) * 0.1, axis=0)
+        pts = np.random.default_rng(0).normal(0, 1, (100, 3))
+        pose = np.array([1.0, 2.0, 3.0, 1.0, 0, 0, 0])  # identity quat
+        out = export_html(str(tmp_path / "v.html"), traj, gt=traj + 0.01,
+                          points=pts, kf_poses=[pose])
+        txt = open(out).read()
+        assert "<canvas" in txt and '"traj"' in txt
+        assert "http://" not in txt and "https://" not in txt  # offline
+        # frustum geometry: apex at camera center, 8 segments
+        segs = frustum_segments(pose)
+        assert segs.shape == (16, 3)
+        np.testing.assert_allclose(segs[0], pose[:3])
+
+    def test_viz_app_writes_outputs(self, tmp_path):
+        """CLI `viz` app end-to-end on a tiny synthetic sequence."""
+        import json as _json
+        import os
+
+        from gslam_tpu.app import cli
+        from gslam_tpu.app.config import Svar
+
+        cfg = str(tmp_path / "seq.synth")
+        with open(cfg, "w") as f:
+            f.write(_json.dumps({"n_frames": 5, "n_points": 200,
+                                 "width": 160, "height": 120}))
+        s = Svar()
+        s.parse_main(["viz", "-dataset", cfg, "-slam", "keyframe",
+                      "-out", str(tmp_path / "run"),
+                      "-slam.max_kps", "128", "-slam.cap_points", "1024",
+                      "-slam.cap_obs", "4096"])
+        assert cli.app_viz(s) == 0
+        for suffix in (".html", "_traj.ply", "_map.ply"):
+            assert os.path.exists(str(tmp_path / "run") + suffix), suffix

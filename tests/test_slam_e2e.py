@@ -157,6 +157,22 @@ class TestStereoE2E:
         # accuracy; median within ~8% is correct behavior here
         assert np.median(rel) < 0.08
 
+    def test_stereo_slam_e2e_ate(self):
+        """Config #3 analog: StereoSLAM end-to-end on a dataset-rendered
+        stereo sequence (no depth images; metric scale from baseline)."""
+        from gslam_tpu.models.stereo import StereoSLAM
+
+        ds = make_ds(depth=False, stereo=True, baseline=0.3, n_points=400)
+        fr0 = ds.grab_frame()
+        assert fr0.image_right is not None and fr0.depth is None
+        ds.open("synth://")  # rewind
+        slam = StereoSLAM(ds.camera, SLAMConfig(**CFG))
+        m = run_sequence(slam, ds)
+        # quantized integer-pixel disparity caps depth accuracy; the gate
+        # still catches scale/geometry breakage (fails by 10x+ if wrong)
+        assert m.ate_rmse < 0.12
+        assert arena_stats(slam.arena)["valid_points"] > 50
+
 
 class TestFusedTrackingStep:
     def test_graft_entry_compiles_and_runs(self):
