@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import List
 
 # first compile through the TPU tunnel is slow (20-40s+/kernel); the
@@ -47,7 +48,21 @@ def _build_slam(dataset, s: Svar):
     return SLAMS.create(name, dataset.camera, **kwargs)
 
 
+def _maybe_force_cpu(s: Svar) -> None:
+    """-cpu true: run on the host CPU backend.
+
+    Some environments force-register an accelerator backend in every
+    process (so JAX_PLATFORMS is ineffective); routing default placement
+    to the CPU client is the reliable way to run device-free.
+    """
+    if s.arg("cpu", False, "run on host CPU (ignore accelerators)"):
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def _run_sequence(s: Svar):
+    _maybe_force_cpu(s)
     path = s.arg("dataset", "", "dataset path (extension dispatch)")
     if not path:
         raise SystemExit("need -dataset <path>")
@@ -60,20 +75,47 @@ def _run_sequence(s: Svar):
     slam = _build_slam(ds, s)
     skip = s.arg("Dataset.Skip", 0, "frames to skip")
     max_frames = s.arg("Dataset.Max", 0, "max frames (0 = all)")
+    # SURVEY 5.1: xprof device traces (view with tensorboard/xprof)
+    profile_dir = s.arg("profile", "", "write a jax.profiler trace here")
+    # SURVEY 5.5: per-frame metrics as streamed JSON lines
+    metrics_path = s.arg("metrics", "", "stream per-frame metric JSONL here")
+    metrics = None
+    if metrics_path:
+        from gslam_tpu.utils.metrics import MetricsRegistry
+
+        metrics = MetricsRegistry(stream=open(metrics_path, "w"))
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     gts, ts = [], []
     n = 0
-    for i, fr in enumerate(ds):
-        if i < skip:
-            continue
-        with timer.section("app/frame"):
-            slam.track(fr)
-            timer.block(None)
-        if fr.gt_pose is not None:
-            gts.append(fr.gt_pose[:3])
-        ts.append(fr.timestamp)
-        n += 1
-        if max_frames and n >= max_frames:
-            break
+    try:
+        for i, fr in enumerate(ds):
+            if i < skip:
+                continue
+            t0 = time.perf_counter()
+            with timer.section("app/frame"):
+                slam.track(fr)
+                timer.block(None)
+            if fr.gt_pose is not None:
+                gts.append(fr.gt_pose[:3])
+            ts.append(fr.timestamp)
+            if metrics is not None:
+                row = dict(slam.stats[-1]) if getattr(slam, "stats", None) \
+                    else {}
+                metrics.emit(frame=fr.id,
+                             track_ms=1e3 * (time.perf_counter() - t0),
+                             **row)
+            n += 1
+            if max_frames and n >= max_frames:
+                break
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+            log.info("wrote profiler trace to %s", profile_dir)
+        if metrics is not None:
+            metrics._stream.close()
     return ds, slam, np.asarray(ts), (np.stack(gts) if gts else None)
 
 

@@ -31,6 +31,25 @@ from gslam_tpu.core.camera import Camera
 from gslam_tpu.datasets.base import Dataset, FrameData
 
 
+def _matrix_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """(3,3) rotation -> (4,) wxyz quaternion, numpy (Shepperd's method)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q / np.linalg.norm(q)
+
+
 def _pose_cam_to_world(motion: str, i: int, n: int, radius: float):
     """Returns (R_wc (3,3), t_wc (3,)): camera->world."""
     if motion == "line":
@@ -141,10 +160,8 @@ class SyntheticDataset(Dataset):
             t_wc_right = t_wc + R_wc @ np.array([baseline, 0.0, 0.0])
             img_right, _ = self._render(R_wc, t_wc_right, False)
 
-        from gslam_tpu.core.so3 import matrix_to_quat
-        import jax.numpy as jnp
-
-        q_wc = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))
+        q_wc = _matrix_to_quat_np(R_wc)  # host-side: the dataset layer
+        # must never touch the device (SURVEY 7: loaders are numpy)
         gt = np.concatenate([t_wc, q_wc]).astype(np.float32)
         return FrameData(id=idx, timestamp=idx / 30.0, image=img,
                          camera=self.camera, depth=depth_img, gt_pose=gt,

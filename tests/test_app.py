@@ -206,3 +206,29 @@ class TestWebViz:
         assert cli.app_viz(s) == 0
         for suffix in (".html", "_traj.ply", "_map.ply"):
             assert os.path.exists(str(tmp_path / "run") + suffix), suffix
+
+    def test_play_metrics_and_profile(self, tmp_path):
+        """SURVEY 5.1/5.5: xprof trace dir + per-frame metric JSONL."""
+        import json as _json
+        import os
+
+        from gslam_tpu.app import cli
+        from gslam_tpu.app.config import Svar
+
+        cfg = str(tmp_path / "seq.synth")
+        with open(cfg, "w") as f:
+            f.write(_json.dumps({"n_frames": 4, "n_points": 200,
+                                 "width": 160, "height": 120}))
+        mpath = str(tmp_path / "m.jsonl")
+        pdir = str(tmp_path / "trace")
+        s = Svar()
+        s.parse_main(["play", "-dataset", cfg, "-slam", "keyframe",
+                      "-metrics", mpath, "-profile", pdir,
+                      "-slam.max_kps", "128", "-slam.cap_points", "1024",
+                      "-slam.cap_obs", "4096"])
+        assert cli.app_play(s) == 0
+        rows = [_json.loads(ln) for ln in open(mpath)]
+        assert len(rows) == 4
+        assert all("track_ms" in r and "frame" in r for r in rows)
+        assert rows[-1].get("n_inliers", 0) >= 1  # SLAM stats threaded
+        assert os.path.isdir(pdir) and os.listdir(pdir)  # trace written
