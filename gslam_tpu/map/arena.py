@@ -403,3 +403,93 @@ def arena_stats(arena: MapArena) -> dict:
         "valid_obs": int(np.asarray(arena.obs_valid).sum()),
         "overflow": bool(arena.overflow),
     }
+
+
+def merge_arenas(a: MapArena, b: MapArena,
+                 transform_b: Optional[jnp.ndarray] = None,
+                 cap_frames: Optional[int] = None,
+                 cap_points: Optional[int] = None,
+                 cap_obs: Optional[int] = None) -> MapArena:
+    """Merge two maps into one arena (multi-session / multi-sequence).
+
+    The reference's ``Map`` holds one session; city-scale multi-sequence
+    runs (BASELINE config #5) need maps from separate sequences (or
+    separate hosts) combined before a distributed global BA.  ``b``'s
+    slots are appended after ``a``'s with frame/point indices offset;
+    ``transform_b`` (Sim3 (8,), e.g. from inter-sequence loop closure /
+    ``estimation.find_sim3``) maps b's world frame into a's.
+
+    Host-side utility (rare offline op — not jit-compiled); capacities
+    of the result default to the sums.
+    """
+    from gslam_tpu.core.sim3 import sim3_apply, sim3_mul
+
+    if a.cap_kps != b.cap_kps:
+        raise ValueError(f"kp capacity mismatch {a.cap_kps} != {b.cap_kps}")
+    na_f, nb_f = int(a.n_frames), int(b.n_frames)
+    na_p, nb_p = int(a.n_points), int(b.n_points)
+    na_o, nb_o = int(a.n_obs), int(b.n_obs)
+    F = cap_frames or (a.cap_frames + b.cap_frames)
+    P = cap_points or (a.cap_points + b.cap_points)
+    E = cap_obs or (a.cap_obs + b.cap_obs)
+    if F < na_f + nb_f or P < na_p + nb_p or E < na_o + nb_o:
+        raise ValueError("merged capacities too small for live entries")
+
+    b_pose = b.frame_pose
+    b_xyz = b.point_xyz
+    b_normal = b.point_normal
+    if transform_b is not None:
+        T = jnp.asarray(transform_b, jnp.float32)
+        b_pose = sim3_mul(T[None], b_pose)
+        b_xyz = sim3_apply(T[None], b_xyz)
+        Ronly = T.at[:3].set(0.0).at[7].set(1.0)  # rotate normals only
+        b_normal = sim3_apply(Ronly[None], b_normal)
+
+    out = make_arena(F, a.cap_kps, P, E)
+
+    def cat(out_buf, buf_a, buf_b, n_a, n_b):
+        out_buf = out_buf.at[:n_a].set(buf_a[:n_a])
+        return out_buf.at[n_a:n_a + n_b].set(buf_b[:n_b])
+
+    def catf(name, buf_b=None):  # frame-axis field
+        return cat(getattr(out, name), getattr(a, name),
+                   getattr(b, name) if buf_b is None else buf_b,
+                   na_f, nb_f)
+
+    def catp(name, buf_b=None):  # point-axis field
+        return cat(getattr(out, name), getattr(a, name),
+                   getattr(b, name) if buf_b is None else buf_b,
+                   na_p, nb_p)
+
+    def cato(name, buf_b=None):  # obs-axis field
+        return cat(getattr(out, name), getattr(a, name),
+                   getattr(b, name) if buf_b is None else buf_b,
+                   na_o, nb_o)
+
+    out = out.replace(
+        frame_pose=catf("frame_pose", b_pose),
+        frame_time=catf("frame_time"),
+        frame_valid=catf("frame_valid"),
+        frame_flags=catf("frame_flags"),
+        frame_camera=catf("frame_camera"),
+        frame_kp_uv=catf("frame_kp_uv"),
+        frame_kp_meta=catf("frame_kp_meta"),
+        frame_kp_depth=catf("frame_kp_depth"),
+        frame_desc=catf("frame_desc"),
+        frame_kp_count=catf("frame_kp_count"),
+        point_xyz=catp("point_xyz", b_xyz),
+        point_normal=catp("point_normal", b_normal),
+        point_color=catp("point_color"),
+        point_desc=catp("point_desc"),
+        point_valid=catp("point_valid"),
+        point_ref_frame=catp("point_ref_frame", b.point_ref_frame + na_f),
+        obs_frame=cato("obs_frame", b.obs_frame + na_f),
+        obs_point=cato("obs_point", b.obs_point + na_p),
+        obs_kp=cato("obs_kp"),
+        obs_valid=cato("obs_valid"),
+        n_frames=jnp.asarray(na_f + nb_f, jnp.int32),
+        n_points=jnp.asarray(na_p + nb_p, jnp.int32),
+        n_obs=jnp.asarray(na_o + nb_o, jnp.int32),
+        overflow=a.overflow | b.overflow,
+    )
+    return out

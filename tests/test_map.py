@@ -9,6 +9,7 @@ masked batch insertion, and jit-compiled insertion.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gslam_tpu.core.sim3 import sim3_identity
 from gslam_tpu.map import (
@@ -227,3 +228,57 @@ class TestMaintenance:
         # covisibility preserved under remap
         C = np.asarray(covisibility_matrix(a2))
         assert C[0, 1] == 2 and C[1, 2] == 2
+
+
+class TestMergeArenas:
+    """Multi-session map merge (BASELINE config #5 building block)."""
+
+    def _mini(self, seed, n_pts=5):
+        from gslam_tpu.map.arena import (DESC_WORDS, add_observations,
+                                         insert_frame, insert_points,
+                                         make_arena)
+
+        a = make_arena(8, 16, 32, 64)
+        rng = np.random.default_rng(seed)
+        kp = jnp.asarray(rng.uniform(0, 100, (16, 2)).astype(np.float32))
+        a, fid = insert_frame(
+            a, jnp.asarray([0, 0, 0, 1, 0, 0, 0, 1.], jnp.float32),
+            jnp.asarray(0.0), kp, jnp.zeros((16, 4)),
+            jnp.zeros((16, DESC_WORDS), jnp.uint32), jnp.asarray(16))
+        xyz = jnp.asarray(rng.normal(0, 1, (n_pts, 3)).astype(np.float32))
+        a, pids = insert_points(a, xyz,
+                                jnp.zeros((n_pts, DESC_WORDS), jnp.uint32),
+                                jnp.ones(n_pts, bool), jnp.asarray(fid))
+        a = add_observations(a, fid, pids, jnp.arange(n_pts),
+                             jnp.ones(n_pts, bool))
+        return a, xyz
+
+    def test_merge_offsets_and_transform(self):
+        from gslam_tpu.map.arena import arena_stats, merge_arenas
+
+        a, xa = self._mini(0)
+        b, xb = self._mini(1)
+        T = jnp.asarray([1., 2., 3., 1, 0, 0, 0, 2.], jnp.float32)
+        m = merge_arenas(a, b, transform_b=T)
+        st = arena_stats(m)
+        assert st["n_frames"] == 2 and st["n_points"] == 10
+        assert st["n_obs"] == 10 and not st["overflow"]
+        np.testing.assert_allclose(np.asarray(m.point_xyz[:5]),
+                                   np.asarray(xa), rtol=1e-6)
+        # b's world mapped through Sim3 (scale 2, translate [1,2,3])
+        np.testing.assert_allclose(
+            np.asarray(m.point_xyz[5:10]),
+            2.0 * np.asarray(xb) + np.array([1, 2, 3]), rtol=1e-5)
+        # index offsets: b's single frame is now slot 1
+        assert int(m.obs_frame[int(a.n_obs)]) == 1
+        assert int(m.point_ref_frame[5]) == 1
+        np.testing.assert_allclose(np.asarray(m.frame_pose[1][:3]),
+                                   [1, 2, 3], atol=1e-6)
+
+    def test_merge_capacity_checks(self):
+        from gslam_tpu.map.arena import merge_arenas
+
+        a, _ = self._mini(0)
+        b, _ = self._mini(1)
+        with pytest.raises(ValueError):
+            merge_arenas(a, b, cap_frames=1)

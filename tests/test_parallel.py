@@ -106,3 +106,53 @@ class TestFaultRecovery:
         np.testing.assert_array_equal(np.asarray(costs2), ref_costs)
         np.testing.assert_array_equal(np.asarray(out2.cam_pose),
                                       np.asarray(ref.cam_pose))
+
+
+class TestMultiSequenceDistributedBA:
+    """BASELINE config #5 analog: maps from two sequences merged into
+    one arena and globally bundle-adjusted over the device mesh
+    (shard-local landmark elimination, psum'd camera system)."""
+
+    def test_merge_then_distributed_global_ba(self):
+        from gslam_tpu.datasets.synthetic import SyntheticDataset
+        from gslam_tpu.map.arena import arena_stats, merge_arenas
+        from gslam_tpu.models.keyframe_slam import KeyframeSLAM, SLAMConfig
+        from gslam_tpu.opt.ba import global_bundle_adjust
+
+        cfg = dict(max_kps=160, fast_threshold=0.1, ba_window=3,
+                   ba_points=192, ba_iters=2, cap_frames=16,
+                   cap_points=1024, cap_obs=4096, local_map_size=256)
+
+        def run(seed):
+            ds = SyntheticDataset(n_frames=8, n_points=250, width=160,
+                                  height=120, motion="line", depth=True,
+                                  seed=seed)
+            ds.open("synth://")
+            slam = KeyframeSLAM(ds.camera, SLAMConfig(**cfg))
+            for fr in ds:
+                slam.track(fr)
+            return slam, ds.camera
+
+        s1, cam = run(3)
+        s2, _ = run(11)
+        # sequence 2's world placed 50m away (as an inter-sequence
+        # alignment from loop closure would)
+        T = jnp.asarray([50., 0., 0., 1, 0, 0, 0, 1.], jnp.float32)
+        merged = merge_arenas(s1.arena, s2.arena, transform_b=T)
+        st = arena_stats(merged)
+        assert st["n_frames"] == (int(s1.arena.n_frames)
+                                  + int(s2.arena.n_frames))
+        assert st["valid_points"] > 100
+
+        mesh = cpu_mesh((4, 2))
+        out, costs = global_bundle_adjust(merged, cam, iters=4,
+                                          max_cams=16, max_points=1024,
+                                          max_obs_per_point=8, mesh=mesh)
+        costs = np.asarray(costs)
+        assert np.isfinite(costs).all()
+        assert costs[-1] <= costs[0] * 1.05  # BA does not diverge
+        # both sequences' keyframes stayed in their own neighborhoods
+        pos = np.asarray(out.frame_pose[:st["n_frames"], :3])
+        n1 = int(s1.arena.n_frames)
+        assert np.abs(pos[:n1, 0]).max() < 25.0
+        assert pos[n1:, 0].min() > 25.0
