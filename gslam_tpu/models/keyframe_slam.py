@@ -92,7 +92,8 @@ class KeyframeSLAM:
         if vocabulary is not None:
             from gslam_tpu.models.loop_closure import LoopCloser
 
-            self.loop_closer = LoopCloser(vocabulary, c.cap_frames)
+            self.loop_closer = LoopCloser(vocabulary, c.cap_frames,
+                                          use_pallas=c.use_pallas)
         self.arena: MapArena = make_arena(
             cap_frames=c.cap_frames, cap_kps=c.max_kps,
             cap_points=c.cap_points, cap_obs=c.cap_obs)

@@ -31,8 +31,10 @@ from gslam_tpu.opt.pose_graph import PoseGraph, optimize_pose_graph
 class LoopCloser:
     def __init__(self, voc: Vocabulary, cap_frames: int,
                  min_score: float = 0.25, min_gap: int = 10,
-                 min_inliers: int = 20, seed: int = 1):
+                 min_inliers: int = 20, seed: int = 1,
+                 use_pallas: bool = False):
         self.voc = voc
+        self.use_pallas = use_pallas
         self.min_score = min_score
         self.min_gap = min_gap
         self.min_inliers = min_inliers
@@ -47,7 +49,8 @@ class LoopCloser:
 
     def add_keyframe(self, kf_id: int, desc: jnp.ndarray,
                      valid: jnp.ndarray) -> None:
-        bow, _ = transform(self.voc, desc, valid)
+        bow, _ = transform(self.voc, desc, valid,
+                           use_pallas=self.use_pallas)
         self.bow_db[kf_id] = np.asarray(bow)
         self.n_kf = max(self.n_kf, kf_id + 1)
 

@@ -11,3 +11,4 @@ gslam_tpu.ops (tests/test_pallas.py); interpret mode covers CPU CI.
 
 from gslam_tpu.ops.pallas.fastnms import fast_nms_pallas
 from gslam_tpu.ops.pallas.matcher import match_hamming_pallas
+from gslam_tpu.ops.pallas.vocab import transform_words_pallas

@@ -99,11 +99,26 @@ def _transform_bow(node_desc: jnp.ndarray, word_weight: jnp.ndarray,
 
 
 def transform(voc: Vocabulary, desc: jnp.ndarray,
-              valid: Optional[jnp.ndarray] = None
+              valid: Optional[jnp.ndarray] = None,
+              use_pallas: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """BowVector + word ids for one descriptor set (jitted)."""
+    """BowVector + word ids for one descriptor set (jitted).
+
+    ``use_pallas`` routes the tree descent through the fused MXU kernel
+    (ops/pallas/vocab.py) when the node table fits VMEM."""
     if valid is None:
         valid = jnp.ones(desc.shape[0], bool)
+    if use_pallas:
+        from gslam_tpu.ops.pallas.vocab import (MAX_NODES,
+                                                transform_words_pallas)
+
+        if voc.node_desc.shape[0] <= MAX_NODES:
+            words = transform_words_pallas(voc.node_desc, desc, valid,
+                                           voc.k, voc.L)
+            bow = jnp.zeros((voc.n_words,)).at[words.clip(0)].add(
+                jnp.where(valid, voc.word_weight[words.clip(0)], 0.0))
+            norm = jnp.maximum(jnp.abs(bow).sum(), 1e-12)
+            return bow / norm, words
     return _transform_bow(voc.node_desc, voc.word_weight, desc, valid,
                           voc.k, voc.L)
 

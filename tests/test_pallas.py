@@ -65,3 +65,47 @@ class TestMatcherKernel:
         v = jnp.ones(32, bool)
         out = match_hamming_pallas(a, v, a, v, ratio=1.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(out.idx), np.arange(32))
+
+
+class TestVocabKernel:
+    def test_gold_vs_reference(self, rng):
+        from gslam_tpu.ops.pallas.vocab import transform_words_pallas
+        from gslam_tpu.ops.vocab import (_transform_words,
+                                         train_vocabulary)
+
+        train = rng.integers(0, 2**32, (600, 8), dtype=np.uint64) \
+            .astype(np.uint32)
+        voc = train_vocabulary(train, k=4, L=3, seed=1)
+        # query: mix of training descriptors and fresh random ones,
+        # N not a multiple of the kernel tile (exercises padding)
+        q = np.concatenate([train[:100],
+                            rng.integers(0, 2**32, (73, 8),
+                                         dtype=np.uint64)
+                            .astype(np.uint32)])
+        valid = np.ones(len(q), bool)
+        valid[7] = False
+        gold = _transform_words(voc.node_desc, jnp.asarray(q),
+                                jnp.asarray(valid), voc.k, voc.L)
+        out = transform_words_pallas(voc.node_desc, jnp.asarray(q),
+                                     jnp.asarray(valid), voc.k, voc.L,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(gold))
+
+    def test_transform_use_pallas_bow(self, rng):
+        """transform(use_pallas=True) matches the jnp BoW end to end
+        (interpret-mode path is exercised above; here on CPU the flag
+        must still produce the identical BowVector via the fallback
+        decision logic when the kernel applies)."""
+        from gslam_tpu.ops import vocab as V
+
+        train = rng.integers(0, 2**32, (300, 8), dtype=np.uint64) \
+            .astype(np.uint32)
+        voc = V.train_vocabulary(train, k=3, L=2, seed=0)
+        q = jnp.asarray(train[:50])
+        gold_bow, gold_w = V.transform(voc, q)
+        # interpret path through the public API
+        from gslam_tpu.ops.pallas.vocab import transform_words_pallas
+        w = transform_words_pallas(voc.node_desc, q,
+                                   jnp.ones(50, bool), voc.k, voc.L,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(gold_w))
