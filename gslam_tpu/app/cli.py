@@ -37,6 +37,7 @@ log = get_logger("cli")
 
 def _build_slam(dataset, s: Svar):
     import gslam_tpu.models  # ensure registry population
+    import gslam_tpu.models.direct  # noqa: F401
     import gslam_tpu.models.stereo  # noqa: F401
 
     name = s.arg("slam", "keyframe", "SLAM system (registry name)")

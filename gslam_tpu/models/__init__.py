@@ -10,7 +10,9 @@ ships complete TPU-native SLAM systems built from gslam_tpu components:
 * :mod:`keyframe_slam` — full keyframe SLAM: track-vs-local-map, keyframe
   promotion, depth/triangulated point creation, local BA over the
   covisibility window (configs #2-#4), with hooks for loop closure;
-* :mod:`stereo` — stereo depth frontend for KITTI-style input (config #3).
+* :mod:`stereo` — stereo depth frontend for KITTI-style input (config #3);
+* :mod:`direct` — direct photometric odometry (the SVO/DSO plugin-family
+  analog): coarse-to-fine pyramid GN over a high-gradient pixel slab.
 
 All device math is jitted with static shapes; the host makes only
 scalarized decisions (keyframe promotion, init) between steps —

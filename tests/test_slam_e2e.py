@@ -240,3 +240,27 @@ class TestPyramidSLAM:
         slam = KeyframeSLAM(ds.camera, cfg)
         m = run_sequence(slam, ds)
         assert m.ate_rmse < 0.08
+
+
+class TestDirectOdometryE2E:
+    """SVO/DSO-family analog: photometric pyramid GN (models/direct)."""
+
+    def test_direct_ate(self):
+        from gslam_tpu.models.direct import DirectConfig, DirectOdometry
+
+        ds = make_ds()
+        slam = DirectOdometry(ds.camera, DirectConfig(
+            n_points=512, n_levels=3, gn_iters=12))
+        m = run_sequence(slam, ds)
+        assert m.n_matched == N_FRAMES
+        assert m.ate_rmse < 0.10
+
+    def test_direct_tracks_and_keyframes(self):
+        from gslam_tpu.models.direct import DirectConfig, DirectOdometry
+
+        ds = make_ds()
+        slam = DirectOdometry(ds.camera, DirectConfig(n_points=512))
+        for fr in ds:
+            slam.track(fr)
+        ok = [s for s in slam.stats if s["n_inliers"] > 100]
+        assert len(ok) >= N_FRAMES - 2
