@@ -32,34 +32,48 @@ def main() -> None:
     from gslam_tpu.models.graft import example_inputs, track_forward
 
     img, cam, xyz, desc, valid, key = example_inputs()
-    # compile + warmup
-    out = track_forward(img, cam, xyz, desc, valid, key)
-    jax.block_until_ready(out)
 
     # sustained throughput on VARIED inputs (each frame's image and RNG
     # key differ, like a real sequence), pipelined like a real frame
     # pump (dispatch ahead, block at the end of the window).  Identical
     # repeated inputs or per-call blocking would measure the control
-    # plane, not the chip.
+    # plane, not the chip.  Both the portable jnp path and the fused
+    # Pallas-kernel path are measured; the faster wins (the Pallas path
+    # is TPU-only — on other backends it falls back gracefully).
     n_iter = 32
     imgs = [img + (i * 1e-6) for i in range(n_iter)]
     keys = [jax.random.fold_in(key, i) for i in range(n_iter)]
     jax.block_until_ready((imgs, keys))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [track_forward(im, cam, xyz, desc, valid, k)
-                for im, k in zip(imgs, keys)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / n_iter
-        best = min(best, dt)
 
-    fps = 1.0 / best
+    def measure(use_pallas: bool) -> float:
+        out = track_forward(img, cam, xyz, desc, valid, key,
+                            use_pallas=use_pallas)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [track_forward(im, cam, xyz, desc, valid, k,
+                                  use_pallas=use_pallas)
+                    for im, k in zip(imgs, keys)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+        return 1.0 / best
+
+    fps = measure(False)
+    variant = "jnp"
+    try:
+        fps_p = measure(True)
+        if fps_p > fps:
+            fps, variant = fps_p, "pallas"
+    except Exception:
+        pass  # non-TPU backend without Mosaic support
+
     print(json.dumps({
         "metric": "tracking_step_fps",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "variant": variant,
     }))
 
 

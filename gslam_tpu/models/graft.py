@@ -21,21 +21,32 @@ from gslam_tpu.ops.frontend import extract_features
 from gslam_tpu.ops.matching import match_descriptors
 
 
-@partial(jax.jit, static_argnames=("max_kps", "threshold", "ransac_b"))
+@partial(jax.jit, static_argnames=("max_kps", "threshold", "ransac_b",
+                                   "use_pallas"))
 def track_forward(image: jnp.ndarray, cam_params: jnp.ndarray,
                   map_xyz: jnp.ndarray, map_desc: jnp.ndarray,
                   map_valid: jnp.ndarray, key: jax.Array,
                   max_kps: int = 512, threshold: float = 0.06,
-                  ransac_b: int = 256
+                  ransac_b: int = 256, use_pallas: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(pose_cw (7,), n_inliers, n_features) for one frame.
 
     image: (H, W) float32 grayscale in [0, 1]
     cam_params: (4,) pinhole [fx, fy, cx, cy]
     map_xyz/(M,3), map_desc/(M,8) uint32, map_valid/(M,): local map slab
+    use_pallas: route FAST+NMS and the Hamming matcher through the fused
+    TPU kernels (ops/pallas); False keeps the portable jnp path.
     """
-    feats = extract_features(image, max_kps=max_kps, threshold=threshold)
-    m = match_descriptors(map_desc, map_valid, feats.desc, feats.valid)
+    feats = extract_features(image, max_kps=max_kps, threshold=threshold,
+                             use_pallas=use_pallas)
+    if use_pallas:
+        from gslam_tpu.ops.pallas.matcher import match_hamming_pallas
+
+        m = match_hamming_pallas(map_desc, map_valid, feats.desc,
+                                 feats.valid)
+    else:
+        m = match_descriptors(map_desc, map_valid, feats.desc,
+                              feats.valid)
     rays = pinhole_unproject(cam_params, feats.uv[m.idx.clip(0)])[:, :2]
     T, inl, n = find_pnp_ransac(key, map_xyz, rays, m.valid,
                                 threshold=2e-5, B=ransac_b)

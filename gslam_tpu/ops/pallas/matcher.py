@@ -25,11 +25,17 @@ from gslam_tpu.ops.matching import BITS, Matches
 
 
 def _unpack_pm1(desc_u32: jnp.ndarray) -> jnp.ndarray:
-    """(K, 8) uint32 -> (K, 256) +/-1 bf16 (in-kernel)."""
+    """(K, 8) uint32 -> (K, 256) +/-1 bf16 (in-kernel).
+
+    Casts go u32 -> i32 -> f32 -> bf16: Mosaic has no direct
+    uint32->bfloat16 lowering (bits are 0/1, so every step is exact).
+    """
     K = desc_u32.shape[0]
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    bits = (desc_u32[:, :, None] >> shifts) & jnp.uint32(1)
-    return (bits.astype(jnp.bfloat16) * 2.0 - 1.0).reshape(K, BITS)
+    bits = ((desc_u32[:, :, None] >> shifts) & jnp.uint32(1)) \
+        .astype(jnp.int32)
+    pm1 = bits.astype(jnp.float32) * 2.0 - 1.0
+    return pm1.astype(jnp.bfloat16).reshape(K, BITS)
 
 
 def _matcher_kernel(a_ref, av_ref, b_ref, bv_ref,
