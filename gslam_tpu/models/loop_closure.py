@@ -81,7 +81,20 @@ class LoopCloser:
         pdesc = arena.point_desc[pids.clip(0)]
         fdesc = arena.frame_desc[kf_id]
         fvalid = jnp.arange(fdesc.shape[0]) < arena.frame_kp_count[kf_id]
-        m = match_descriptors(pdesc, ok, fdesc, fvalid, ratio=0.9)
+        # BoW-guided matching (FeatureVector analog): gate candidate
+        # pairs to the same vocabulary node two levels above the leaves
+        if self.voc.L >= 2:
+            from gslam_tpu.ops.matching import match_descriptors_word_gated
+
+            _, wa = transform(self.voc, pdesc, ok,
+                              use_pallas=self.use_pallas)
+            _, wb = transform(self.voc, fdesc, fvalid,
+                              use_pallas=self.use_pallas)
+            m = match_descriptors_word_gated(
+                pdesc, ok, wa, fdesc, fvalid, wb, ratio=0.9,
+                level_div=self.voc.k ** 2)
+        else:
+            m = match_descriptors(pdesc, ok, fdesc, fvalid, ratio=0.9)
         uv = arena.frame_kp_uv[kf_id][m.idx.clip(0)]
         rays = camera.unproject(uv)[:, :2]
         thr = (2.0 / camera.fx) ** 2

@@ -120,3 +120,42 @@ def match_descriptors_gated(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                    dist=jnp.where(ok, best, inf),
                    valid=ok,
                    count=ok.sum().astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio", "level_div"))
+def match_descriptors_word_gated(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+                                 words_a: jnp.ndarray,
+                                 desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+                                 words_b: jnp.ndarray,
+                                 max_dist: float = 64.0,
+                                 ratio: float = 0.9,
+                                 level_div: int = 1) -> Matches:
+    """BoW-guided matching (the reference FeatureVector use: DBoW's
+    guided matching restricts candidate pairs to features indexed under
+    the same vocabulary node at an upper tree level — dropping the
+    quadratic scan to per-node buckets).
+
+    TPU formulation: keep the dense (N, M) Hamming GEMM and mask pairs
+    whose word ids disagree at the gating level.  ``level_div`` =
+    k^(L - l): leaf words integer-divided by it give the level-l node id
+    (1 = gate at the leaf itself).  Invalid/unassigned (-1) words never
+    match.
+    """
+    D = hamming_matrix(desc_a, desc_b)
+    inf = jnp.float32(BITS + 1)
+    na = words_a // level_div
+    nb = words_b // level_div
+    ok_pair = (valid_a[:, None] & valid_b[None, :]
+               & (words_a[:, None] >= 0) & (words_b[None, :] >= 0)
+               & (na[:, None] == nb[None, :]))
+    D = jnp.where(ok_pair, D, inf)
+
+    neg2, idx2 = jax.lax.top_k(-D, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    bidx = idx2[:, 0]
+    ok = valid_a & (best <= max_dist) & (best <= ratio * second)
+    return Matches(idx=jnp.where(ok, bidx, -1).astype(jnp.int32),
+                   dist=jnp.where(ok, best, inf),
+                   valid=ok,
+                   count=ok.sum().astype(jnp.int32))

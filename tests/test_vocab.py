@@ -105,3 +105,53 @@ class TestPersistence:
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
         np.testing.assert_allclose(np.asarray(v2.word_weight),
                                    np.asarray(voc.word_weight), atol=1e-5)
+
+
+class TestWordGatedMatching:
+    def test_gate_restricts_to_same_node(self, rng):
+        from gslam_tpu.ops.matching import (match_descriptors,
+                                            match_descriptors_word_gated)
+        from gslam_tpu.ops.vocab import train_vocabulary, transform
+
+        train = rng.integers(0, 2**32, (400, 8), dtype=np.uint64) \
+            .astype(np.uint32)
+        voc = train_vocabulary(train, k=4, L=3, seed=2)
+        a = jnp.asarray(train[:64])
+        b = jnp.asarray(train[:64])  # identical sets -> self matches
+        va = jnp.ones(64, bool)
+        _, wa = transform(voc, a, va)
+        m = match_descriptors_word_gated(a, va, wa, b, va, wa,
+                                         ratio=1.0, level_div=voc.k)
+        # identical descriptors share their word: self-match survives
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(64))
+
+        # descriptors forced into different nodes can never match
+        wa_bad = (wa + 1) % voc.n_words
+        m2 = match_descriptors_word_gated(a, va, wa, b, va, wa_bad,
+                                          ratio=1.0, level_div=1)
+        assert int(m2.count) == 0
+
+    def test_gated_is_subset_of_ungated(self, rng):
+        from gslam_tpu.ops.matching import (match_descriptors,
+                                            match_descriptors_word_gated)
+        from gslam_tpu.ops.vocab import train_vocabulary, transform
+
+        train = rng.integers(0, 2**32, (400, 8), dtype=np.uint64) \
+            .astype(np.uint32)
+        voc = train_vocabulary(train, k=4, L=2, seed=0)
+        a = jnp.asarray(train[:48])
+        b = jnp.asarray(train[100:180])
+        va = jnp.ones(48, bool)
+        vb = jnp.ones(80, bool)
+        _, wa = transform(voc, a, va)
+        _, wb = transform(voc, b, vb)
+        g = match_descriptors_word_gated(a, va, wa, b, vb, wb,
+                                         ratio=0.9, level_div=voc.k)
+        ug = match_descriptors(a, va, b, vb, ratio=0.9, mutual=False)
+        # every gated match with the same pairing must have the gold
+        # distance (gating can only REMOVE candidates, so where idx
+        # agrees the distance is identical)
+        same = np.asarray(g.valid) & np.asarray(ug.valid) \
+            & (np.asarray(g.idx) == np.asarray(ug.idx))
+        np.testing.assert_allclose(np.asarray(g.dist)[same],
+                                   np.asarray(ug.dist)[same])
