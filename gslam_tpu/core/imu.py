@@ -83,3 +83,21 @@ def predict_pose(pose_wc_i: jnp.ndarray, vel_w: jnp.ndarray,
            + quat_rotate(q_i, delta.dp))
     q_j = quat_mul(q_i, delta.dq)
     return se3_make(p_j, q_j)
+
+
+def imu_rotation_edge(delta: ImuDelta, weight: float = 1.0):
+    """Pose-graph edge from a preintegrated gyro delta.
+
+    Returns (Z (7,), info (6,)) for :class:`gslam_tpu.opt.pose_graph.
+    PoseGraph` with edge (i=new frame, j=old frame): the measured
+    relative pose Z = T_i<-j has rotation conj(dq) (dq rotates body_j
+    -> body_i) and unconstrained translation — the diagonal information
+    weights only the rotation dims, so accelerometer double-integration
+    error never pollutes position.  (Reference analog: relative-pose
+    edges with information matrices in ``GSLAM/core/Optimizer.h``.)
+    """
+    from gslam_tpu.core.so3 import quat_conj
+
+    Z = jnp.concatenate([jnp.zeros(3), quat_conj(delta.dq)])
+    info = jnp.concatenate([jnp.zeros(3), jnp.full((3,), weight)])
+    return Z, info

@@ -33,7 +33,10 @@ class PoseGraph(NamedTuple):
     edge_j: jnp.ndarray      # (E,) int32
     edge_rel: jnp.ndarray    # (E, 7|8) measured Z_ij ~= T_i * T_j^-1
     edge_valid: jnp.ndarray  # (E,) bool
-    edge_weight: jnp.ndarray  # (E,) information scale
+    edge_weight: jnp.ndarray  # (E,) scalar information, or (E, d)
+    #   per-residual-dim diagonal information (reference edges carry
+    #   full information matrices; the diagonal covers the practical
+    #   cases: anisotropic odometry, rotation-only IMU edges)
     # optional unary position priors (GPS edges — reference GPS prior
     # edges in Optimizer.h; ENU meters on the camera *center*)
     prior_pos: jnp.ndarray | None = None     # (N, 3)
@@ -50,6 +53,13 @@ def _group_ops(mode: str):
     raise ValueError(f"mode must be se3|sim3, got {mode}")
 
 
+def _edge_info(weight: jnp.ndarray, d: int) -> jnp.ndarray:
+    """(E,) scalar or (E, d) diagonal information -> (E, d)."""
+    if weight.ndim == 1:
+        return jnp.broadcast_to(weight[:, None], (weight.shape[0], d))
+    return weight
+
+
 def _cam_center(poses: jnp.ndarray) -> jnp.ndarray:
     """Camera centers (N, 3) of world->cam poses: c = -R^T t."""
     from gslam_tpu.core.so3 import quat_conj, quat_rotate
@@ -63,7 +73,7 @@ def pose_graph_cost(g: PoseGraph, mode: str = "se3") -> jnp.ndarray:
     Tj = g.poses[g.edge_j]
     r = ops["log"](ops["mul"](ops["inv"](g.edge_rel),
                               ops["mul"](Ti, ops["inv"](Tj))))
-    r2 = jnp.sum(r * r, -1) * g.edge_weight
+    r2 = jnp.sum(r * r * _edge_info(g.edge_weight, ops["dim"]), -1)
     cost = jnp.sum(jnp.where(g.edge_valid, r2, 0.0))
     if g.prior_pos is not None:
         pr = _cam_center(g.poses) - g.prior_pos
@@ -104,7 +114,9 @@ def optimize_pose_graph(g: PoseGraph, mode: str = "se3", iters: int = 20,
             jnp.zeros((E, d)), jnp.zeros((E, d)), Ti, Tj, g.edge_rel)
         Ji = jac_i(Ti, Tj, g.edge_rel)  # (E, d, d)
         Jj = jac_j(Ti, Tj, g.edge_rel)
-        w = (g.edge_valid * g.edge_weight)[:, None, None]
+        # diagonal information applies on the residual axis 'a'
+        w = (g.edge_valid[:, None]
+             * _edge_info(g.edge_weight, d))[:, :, None]
         Ji = Ji * free[g.edge_i][:, None, None]
         Jj = Jj * free[g.edge_j][:, None, None]
 

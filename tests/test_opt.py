@@ -273,3 +273,74 @@ class TestGPSPriors:
 
         ang = np.asarray(so3_log(d.dq))
         assert abs(ang[2] - np.pi / 2 * 0.995) < 0.02
+
+
+class TestDiagonalEdgeInformation:
+    def _chain(self, key, n=4):
+        import numpy as np
+        from gslam_tpu.core.se3 import se3_exp
+        rng = np.random.default_rng(0)
+        poses = [np.asarray(se3_identity())]
+        for i in range(1, n):
+            xi = np.concatenate([rng.normal(0, 0.3, 3),
+                                 rng.normal(0, 0.2, 3)])
+            poses.append(np.asarray(se3_mul(se3_exp(jnp.asarray(xi)),
+                                            jnp.asarray(poses[-1]))))
+        return jnp.asarray(np.stack(poses))
+
+    def test_diag_ones_equals_scalar(self, key):
+        """(E, 6) all-ones information == scalar weight 1.0."""
+        from gslam_tpu.opt.pose_graph import PoseGraph, optimize_pose_graph
+        gt = self._chain(key)
+        n = gt.shape[0]
+        noisy = gt.at[1:, :3].add(0.05)
+        ei = jnp.arange(1, n, dtype=jnp.int32)
+        ej = jnp.arange(0, n - 1, dtype=jnp.int32)
+        rel = se3_mul(gt[ei], jax.vmap(se3_inverse)(gt[ej]))
+        base = dict(poses=noisy, fixed=jnp.zeros(n, bool).at[0].set(True),
+                    edge_i=ei, edge_j=ej, edge_rel=rel,
+                    edge_valid=jnp.ones(n - 1, bool))
+        g1 = PoseGraph(**base, edge_weight=jnp.ones(n - 1))
+        g2 = PoseGraph(**base, edge_weight=jnp.ones((n - 1, 6)))
+        o1, c1 = optimize_pose_graph(g1, iters=10)
+        o2, c2 = optimize_pose_graph(g2, iters=10)
+        np.testing.assert_allclose(np.asarray(o1.poses),
+                                   np.asarray(o2.poses), atol=1e-6)
+
+    def test_rotation_only_imu_edge(self, key):
+        """A rotation-only edge corrects rotation, not translation."""
+        from gslam_tpu.core.imu import ImuDelta, imu_rotation_edge
+        from gslam_tpu.core.so3 import quat_conj, so3_exp
+        from gslam_tpu.opt.pose_graph import PoseGraph, optimize_pose_graph
+
+        # node 1 starts with a wrong rotation; the IMU edge measures the
+        # true relative rotation dq (body_0 -> body_1)
+        dq_true = so3_exp(jnp.asarray([0.2, -0.1, 0.3]))
+        delta = ImuDelta(dq=dq_true, dv=jnp.zeros(3), dp=jnp.zeros(3),
+                         dt=jnp.asarray(0.1))
+        Z, info = imu_rotation_edge(delta, weight=10.0)
+        t1 = jnp.asarray([0.5, 0.0, 0.0])
+        poses = jnp.stack([
+            se3_identity(),
+            jnp.concatenate([t1, so3_exp(jnp.asarray([0.0, 0.0, 0.0]))]),
+        ])
+        g = PoseGraph(poses=poses,
+                      fixed=jnp.zeros(2, bool).at[0].set(True),
+                      edge_i=jnp.asarray([1], jnp.int32),
+                      edge_j=jnp.asarray([0], jnp.int32),
+                      edge_rel=Z[None], edge_valid=jnp.ones(1, bool),
+                      edge_weight=info[None])
+        out, costs = optimize_pose_graph(g, iters=15)
+        # rotation of node 1 converged to conj(dq).  The translation
+        # TANGENT is unconstrained (zero info) so no rho step is taken;
+        # the stored t co-rotates with the left-multiplicative rotation
+        # correction: t_final = R_corr t1 with R_corr = conj(dq).
+        q1 = np.asarray(out.poses[1, 3:7])
+        q_want = np.asarray(quat_conj(dq_true))
+        assert min(np.abs(q1 - q_want).max(),
+                   np.abs(q1 + q_want).max()) < 1e-3
+        from gslam_tpu.core.so3 import quat_rotate
+        t_want = np.asarray(quat_rotate(quat_conj(dq_true), t1))
+        np.testing.assert_allclose(np.asarray(out.poses[1, :3]),
+                                   t_want, atol=1e-3)
+        assert float(costs[-1]) < float(costs[0])
