@@ -79,7 +79,8 @@ class SyntheticDataset(Dataset):
         self.cfg = dict(n_frames=60, n_points=300, width=320, height=240,
                         motion="orbit", seed=3, fov_deg=70.0, radius=8.0,
                         depth=True, dot_half=1, world_extent=6.0,
-                        noise=0.0, stereo=False, baseline=0.3)
+                        noise=0.0, stereo=False, baseline=0.3,
+                        imu=False, imu_rate=10, imu_noise=0.0)
         self.cfg.update(overrides)
 
     def _open(self, path: str) -> bool:
@@ -145,6 +146,46 @@ class SyntheticDataset(Dataset):
                 .astype(np.float32)
         return img.clip(0.0, 1.0).astype(np.float32), depth_img
 
+    def _imu_window(self, idx: int) -> Optional[np.ndarray]:
+        """GT-derived IMU samples covering (t[idx-1], t[idx]].
+
+        Gyro = constant body rate from the relative GT rotation; accel =
+        world acceleration (second difference of camera centers) minus
+        gravity, rotated into the body frame.  Body frame == camera
+        frame (the extrinsic identity the players assume)."""
+        c = self.cfg
+        if idx == 0:
+            return np.zeros((0, 7), np.float32)
+        n, m = c["n_frames"], int(c["imu_rate"])
+        dt_f = 1.0 / 30.0
+        R0, t0 = _pose_cam_to_world(c["motion"], idx - 1, n, c["radius"])
+        R1, t1 = _pose_cam_to_world(c["motion"], idx, n, c["radius"])
+        # constant angular rate: w = log(R0^T R1) / dt (body frame)
+        dR = R0.T @ R1
+        angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        if angle < 1e-9:
+            axis = np.zeros(3)
+        else:
+            axis = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                             dR[1, 0] - dR[0, 1]]) / (2 * np.sin(angle))
+        w_body = axis * angle / dt_f
+        # world acceleration from centers at idx-1, idx, idx+1
+        Rp, tp = _pose_cam_to_world(c["motion"], max(idx - 2, 0), n,
+                                    c["radius"])
+        a_w = (t1 - 2 * t0 + tp) / dt_f ** 2
+        g_w = np.array([0.0, 0.0, -9.81])
+        a_body = R0.T @ (a_w - g_w)
+        # m+1 rows: the first sits AT t[idx-1] — preintegrate() treats
+        # the first sample as the anchor (zero dt contribution)
+        ts = (idx - 1) / 30.0 + dt_f * (np.arange(0, m + 1) / m)
+        rows = np.concatenate([
+            ts[:, None],
+            np.tile(a_body, (m + 1, 1)), np.tile(w_body, (m + 1, 1))], -1)
+        if c["imu_noise"] > 0:
+            rows[:, 1:] += self.rng.normal(0, c["imu_noise"],
+                                           rows[:, 1:].shape)
+        return rows.astype(np.float32)
+
     def _grab(self, idx: int) -> Optional[FrameData]:
         c = self.cfg
         if idx >= c["n_frames"]:
@@ -168,7 +209,8 @@ class SyntheticDataset(Dataset):
                          image_right=img_right,
                          camera_right=self.camera if img_right is not None
                          else None,
-                         stereo_baseline=baseline)
+                         stereo_baseline=baseline,
+                         imu=self._imu_window(idx) if c["imu"] else None)
 
 
 @DATASETS.register("synth")

@@ -108,6 +108,10 @@ class KeyframeSLAM:
         self.stats: List[dict] = []
         self._prev_feats: Optional[Features] = None
         self._prev_frame: Optional[FrameData] = None
+        # VI: gyro delta accumulated since the last keyframe -> becomes
+        # a rotation-only pose-graph edge between consecutive keyframes
+        self._imu_dq_acc = None
+        self.imu_edges: List[tuple] = []   # (kf_i, kf_j, dq ndarray)
 
     # ------------------------------------------------------------------
     def valid(self) -> bool:
@@ -150,6 +154,18 @@ class KeyframeSLAM:
             timer.block(feats)
         self._cur_kp_depth = self._kp_depths(frame, feats)
 
+        # preintegrate the frame's IMU window once: feeds the gyro-aided
+        # motion model below AND accumulates toward the keyframe edge
+        imu_delta = None
+        if frame.imu is not None and len(frame.imu) > 1:
+            from gslam_tpu.core.imu import preintegrate
+            from gslam_tpu.core.so3 import quat_mul
+
+            imu_delta = preintegrate(jnp.asarray(frame.imu, jnp.float32),
+                                     jnp.ones(len(frame.imu), bool))
+            self._imu_dq_acc = imu_delta.dq if self._imu_dq_acc is None \
+                else quat_mul(self._imu_dq_acc, imu_delta.dq)
+
         n_inliers = 0
         n_matches = 0
         if not self.initialized:
@@ -158,18 +174,15 @@ class KeyframeSLAM:
             # gyro-aided motion model: when IMU samples are attached,
             # refine the rotation part of the constant-velocity
             # prediction with the preintegrated gyro delta (EuRoC VI)
-            if frame.imu is not None and len(frame.imu) > 1:
-                from gslam_tpu.core.imu import preintegrate
+            if imu_delta is not None:
                 from gslam_tpu.core.so3 import quat_conj
 
-                d = preintegrate(jnp.asarray(frame.imu, jnp.float32),
-                                 jnp.ones(len(frame.imu), bool))
                 # velocity = T_cw(t) o T_wc(t-1): its rotation equals
                 # conj(dq) when the IMU delta dq rotates body(t-1) ->
                 # body(t) (camera == IMU frame assumed; extrinsics are
                 # the dataset player's job)
                 self.velocity = self.velocity.at[3:7].set(
-                    quat_conj(d.dq))
+                    quat_conj(imu_delta.dq))
             pose_cw, n_matches, n_inliers = self._track_local_map(feats)
             # sanity gate: a "consistent" RANSAC solution far from the
             # motion-model prediction is a repetitive-texture alias —
@@ -341,6 +354,12 @@ class KeyframeSLAM:
             fid = self._insert_frame_only(frame, feats, pose_cw)
             if fid < 0:
                 return
+            # VI: emit the accumulated gyro delta as a rotation-only
+            # inter-keyframe edge (consumed by loop-closure pose graph)
+            if self._imu_dq_acc is not None and self.last_kf_id >= 0:
+                self.imu_edges.append(
+                    (fid, self.last_kf_id, np.asarray(self._imu_dq_acc)))
+            self._imu_dq_acc = None
             # 1. observations of tracked existing points
             matched_kp_mask = jnp.zeros((c.max_kps,), bool)
             if self.initialized and hasattr(self, "_last_track"):
@@ -380,7 +399,8 @@ class KeyframeSLAM:
                     jnp.arange(self.cfg.max_kps)
                     < self.arena.frame_kp_count[fid])
                 self.arena, closed = self.loop_closer.close(
-                    self.arena, self.camera, fid)
+                    self.arena, self.camera, fid,
+                    imu_edges=self.imu_edges)
                 if closed:
                     self.pose_wc = se3_inverse(
                         self.arena.frame_pose[fid][:7])

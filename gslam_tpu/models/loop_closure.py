@@ -104,9 +104,16 @@ class LoopCloser:
             return None
         return T, int(n)
 
-    def close(self, arena: MapArena, camera, kf_id: int
+    def close(self, arena: MapArena, camera, kf_id: int,
+              imu_edges=None, imu_weight: float = 5.0
               ) -> Tuple[MapArena, bool]:
-        """Detect + verify + pose-graph correct.  Returns (arena, did)."""
+        """Detect + verify + pose-graph correct.  Returns (arena, did).
+
+        imu_edges: optional [(kf_i, kf_j, dq), ...] preintegrated gyro
+        deltas between consecutive keyframes (body_j -> body_i) — added
+        as rotation-only edges (diagonal information), so the corrected
+        graph stays consistent with inertial rotation measurements.
+        """
         ver = None
         cand = None
         for cand in self.detect(kf_id):
@@ -124,13 +131,27 @@ class LoopCloser:
         ej = list(range(0, F - 1))
         rel = [np.asarray(se3_mul(poses_cw[i], se3_inverse(poses_cw[j])))
                for i, j in zip(ei, ej)]
-        w = [1.0] * len(ei)
+        w = [np.full(6, 1.0, np.float32) for _ in ei]
         # loop edge: measured relative pose kf_id <- cand
         Z = se3_mul(T_loop_cw, se3_inverse(poses_cw[cand]))
         ei.append(kf_id)
         ej.append(cand)
         rel.append(np.asarray(Z))
-        w.append(50.0)
+        w.append(np.full(6, 50.0, np.float32))
+        if imu_edges:
+            from gslam_tpu.core.imu import ImuDelta, imu_rotation_edge
+
+            for (i, j, dq) in imu_edges:
+                if i >= F or j >= F:
+                    continue
+                Zi, info = imu_rotation_edge(
+                    ImuDelta(dq=jnp.asarray(dq), dv=jnp.zeros(3),
+                             dp=jnp.zeros(3), dt=jnp.asarray(0.0)),
+                    weight=imu_weight)
+                ei.append(i)
+                ej.append(j)
+                rel.append(np.asarray(Zi))
+                w.append(np.asarray(info))
 
         g = PoseGraph(
             poses=poses_cw,
@@ -139,7 +160,7 @@ class LoopCloser:
             edge_j=jnp.asarray(ej, jnp.int32),
             edge_rel=jnp.asarray(np.stack(rel)),
             edge_valid=jnp.ones(len(ei), bool),
-            edge_weight=jnp.asarray(w, jnp.float32))
+            edge_weight=jnp.asarray(np.stack(w)))
         out, costs = optimize_pose_graph(g, iters=15)
 
         # write corrected poses; carry each point rigidly with its

@@ -76,3 +76,31 @@ class TestLoopClosureE2E:
         # the loop closer ran its detect/verify path over every KF
         assert m.ate_rmse < 1.0
         assert slam.loop_closer.n_kf >= 5
+
+
+class TestLoopClosureVI:
+    def test_ring_with_imu_edges(self, voc):
+        """Ring sequence with synthetic IMU: inertial rotation edges
+        flow into the loop pose graph and the gate still holds."""
+        ds = SyntheticDataset(n_frames=48, n_points=500, width=192,
+                              height=144, motion="ring", depth=True,
+                              radius=6.0, world_extent=5.0, imu=True)
+        ds.open("synth://")
+        cfg = SLAMConfig(max_kps=192, fast_threshold=0.1, ba_window=4,
+                         ba_points=256, ba_iters=3, cap_frames=64,
+                         cap_points=4096, cap_obs=16384,
+                         local_map_size=512, kf_max_gap=4)
+        slam = KeyframeSLAM(ds.camera, cfg, vocabulary=voc)
+        slam.loop_closer.min_score = 0.10
+        slam.loop_closer.min_gap = 6
+        slam.loop_closer.min_inliers = 15
+        gts, ts = [], []
+        for fr in ds:
+            slam.track(fr)
+            gts.append(fr.gt_pose[:3])
+            ts.append(fr.timestamp)
+        m = evaluate_trajectory(np.asarray(ts), slam.positions(),
+                                np.asarray(ts), np.stack(gts),
+                                with_scale=False)
+        assert m.ate_rmse < 1.0
+        assert len(slam.imu_edges) >= slam.loop_closer.n_kf - 2

@@ -264,3 +264,37 @@ class TestDirectOdometryE2E:
             slam.track(fr)
         ok = [s for s in slam.stats if s["n_inliers"] > 100]
         assert len(ok) >= N_FRAMES - 2
+
+
+class TestVisualInertialE2E:
+    """Synthetic IMU: GT-derived gyro/accel windows (datasets/synthetic),
+    gyro-aided motion model + rotation-only inter-keyframe edges."""
+
+    def test_synthetic_imu_matches_gt_rotation(self):
+        from gslam_tpu.core.imu import preintegrate
+        from gslam_tpu.core.so3 import quat_conj, quat_mul
+
+        ds = make_ds(motion="orbit", imu=True, n_frames=8)
+        frames = list(ds)
+        for a, b in zip(frames[:-1], frames[1:]):
+            assert b.imu is not None and len(b.imu) > 1
+            d = preintegrate(jnp.asarray(b.imu),
+                             jnp.ones(len(b.imu), bool))
+            # GT relative rotation body(a) -> body(b):
+            # q_rel = conj(q_wa) * q_wb
+            q_rel = quat_mul(quat_conj(jnp.asarray(a.gt_pose[3:7])),
+                             jnp.asarray(b.gt_pose[3:7]))
+            qd = np.asarray(d.dq)
+            qr = np.asarray(q_rel)
+            assert min(np.abs(qd - qr).max(), np.abs(qd + qr).max()) \
+                < 2e-3
+
+    def test_vi_slam_accumulates_imu_edges(self):
+        ds = make_ds(imu=True)
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        m = run_sequence(slam, ds)
+        assert m.ate_rmse < 0.05  # gyro aid must not hurt the gate
+        # every keyframe after the first carries an inertial edge
+        assert len(slam.imu_edges) >= int(slam.arena.n_frames) - 2
+        for (i, j, dq) in slam.imu_edges:
+            assert i > j >= 0 and np.isfinite(dq).all()
