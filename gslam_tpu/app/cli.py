@@ -43,9 +43,19 @@ def _build_slam(dataset, s: Svar):
     name = s.arg("slam", "keyframe", "SLAM system (registry name)")
     kwargs = {}
     for key in ("max_kps", "fast_threshold", "ba_window", "ba_iters",
-                "cap_frames", "cap_points", "cap_obs"):
+                "cap_frames", "cap_points", "cap_obs", "use_pallas",
+                "n_levels", "kf_max_gap", "local_map_size"):
         if f"slam.{key}" in s:
             kwargs[key] = s[f"slam.{key}"]
+    # -vocabulary voc.npz|ORBvoc-style .txt: enables BoW loop closure
+    # and relocalization (reference: gslam -vocabulary <file>)
+    voc_path = s.arg("vocabulary", "", "BoW vocabulary (npz / DBoW3 text)")
+    if voc_path:
+        from gslam_tpu.ops.vocab import load_dbow3_text, load_vocabulary
+
+        kwargs["vocabulary"] = (load_dbow3_text(voc_path)
+                                if voc_path.endswith(".txt")
+                                else load_vocabulary(voc_path))
     return SLAMS.create(name, dataset.camera, **kwargs)
 
 
@@ -117,6 +127,13 @@ def _run_sequence(s: Svar):
             log.info("wrote profiler trace to %s", profile_dir)
         if metrics is not None:
             metrics._stream.close()
+    # SURVEY 5.4: Map::save analog — snapshot the arena pytree
+    save_map = s.arg("save_map", "", "write the map arena (npz) here")
+    if save_map and hasattr(slam, "arena"):
+        from gslam_tpu.map.arena import save_arena
+
+        save_arena(slam.arena, save_map)
+        log.info("saved map arena to %s", save_map)
     return ds, slam, np.asarray(ts), (np.stack(gts) if gts else None)
 
 

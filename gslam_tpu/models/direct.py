@@ -254,5 +254,8 @@ class DirectOdometry:
 
 @SLAMS.register("direct")
 def _make_direct(camera: Camera, **kw) -> DirectOdometry:
+    kw.pop("vocabulary", None)  # direct method: no BoW stage
+    kw = {k: v for k, v in kw.items()
+          if k in DirectConfig.__dataclass_fields__}
     cfg = DirectConfig(**kw) if kw else None
     return DirectOdometry(camera, cfg)

@@ -530,5 +530,6 @@ class KeyframeSLAM:
 
 @SLAMS.register("keyframe")
 def _make_keyframe_slam(camera: Camera, **kw) -> KeyframeSLAM:
+    voc = kw.pop("vocabulary", None)
     cfg = SLAMConfig(**kw) if kw else None
-    return KeyframeSLAM(camera, cfg)
+    return KeyframeSLAM(camera, cfg, vocabulary=voc)

@@ -44,5 +44,12 @@ class StereoSLAM(KeyframeSLAM):
 
 @SLAMS.register("stereo")
 def _make_stereo(camera: Camera, **kw) -> StereoSLAM:
+    voc = kw.pop("vocabulary", None)
     cfg = SLAMConfig(**kw) if kw else None
-    return StereoSLAM(camera, cfg)
+    slam = StereoSLAM(camera, cfg)
+    if voc is not None:
+        from gslam_tpu.models.loop_closure import LoopCloser
+
+        slam.loop_closer = LoopCloser(voc, slam.cfg.cap_frames,
+                                      use_pallas=slam.cfg.use_pallas)
+    return slam

@@ -232,3 +232,41 @@ class TestWebViz:
         assert all("track_ms" in r and "frame" in r for r in rows)
         assert rows[-1].get("n_inliers", 0) >= 1  # SLAM stats threaded
         assert os.path.isdir(pdir) and os.listdir(pdir)  # trace written
+
+
+class TestCLIVocabularyAndMap:
+    def test_vocabulary_flag_and_save_map(self, tmp_path):
+        """-vocabulary enables loop closure; -save_map snapshots the
+        arena (Map::save analog); loading the snapshot roundtrips."""
+        import json as _json
+        import os
+
+        import jax.numpy as jnp
+
+        from gslam_tpu.app import cli
+        from gslam_tpu.app.config import Svar
+        from gslam_tpu.map.arena import load_arena
+        from gslam_tpu.ops.vocab import save_vocabulary, train_vocabulary
+
+        rng = np.random.default_rng(0)
+        voc = train_vocabulary(
+            rng.integers(0, 2**32, (200, 8), dtype=np.uint64)
+            .astype(np.uint32), k=3, L=2, seed=0)
+        vpath = str(tmp_path / "voc.npz")
+        save_vocabulary(voc, vpath)
+
+        cfg = str(tmp_path / "seq.synth")
+        with open(cfg, "w") as f:
+            f.write(_json.dumps({"n_frames": 5, "n_points": 200,
+                                 "width": 160, "height": 120}))
+        mpath = str(tmp_path / "map.npz")
+        s = Svar()
+        s.parse_main(["play", "-dataset", cfg, "-slam", "keyframe",
+                      "-vocabulary", vpath, "-save_map", mpath,
+                      "-slam.max_kps", "128", "-slam.cap_points", "1024",
+                      "-slam.cap_obs", "4096"])
+        assert cli.app_play(s) == 0
+        assert os.path.exists(mpath)
+        arena = load_arena(mpath)
+        assert int(arena.n_frames) >= 1
+        assert int(arena.point_valid.sum()) > 20
