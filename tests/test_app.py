@@ -8,6 +8,8 @@ bounds) — SURVEY.md section 4.
 import threading
 import time
 
+import numpy as np
+
 import pytest
 
 from gslam_tpu.app.config import Svar
