@@ -1,0 +1,150 @@
+"""Global SfM (TheiaSfM-family analog) — unit + e2e tests.
+
+Covers the batched offline pipeline in gslam_tpu.models.sfm: spectral
+rotation averaging, cross-product translation recovery, and the full
+reconstruct-from-buffered-frames path with a Sim3-aligned ATE gate
+(monocular reconstruction is up-to-scale by construction).
+"""
+
+import numpy as np
+import pytest
+
+from gslam_tpu.datasets.synthetic import SyntheticDataset
+from gslam_tpu.eval import evaluate_trajectory
+from gslam_tpu.models.sfm import (GlobalSfM, rotation_averaging,
+                                  translation_recovery)
+
+# a gentle ~67 deg arc: first 10 frames of a 24-frame half-circle orbit
+# (the full orbit views the synthetic slab edge-on at ~90 deg, where
+# wide-baseline matching legitimately degrades)
+SEQ = dict(n_frames=24, n_points=800, width=256, height=192,
+           motion="orbit", depth=False)
+N_USE = 10
+
+
+def _rand_rotations(rng, n):
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.random(n, random_state=rng).as_matrix()
+
+
+def _all_edges(n):
+    return np.array([(i, j) for i in range(n) for j in range(i + 1, n)],
+                    np.int32)
+
+
+class TestRotationAveraging:
+    def test_exact_recovery_clean_edges(self):
+        """Noise-free R_rel must be recovered exactly (up to gauge)."""
+        rng = np.random.RandomState(0)
+        n = 10
+        R_gt = _rand_rotations(rng, n)
+        edges = _all_edges(n)
+        R_rel = np.einsum("ekl,eml->ekm",
+                          R_gt[edges[:, 1]], R_gt[edges[:, 0]])
+        R = np.asarray(rotation_averaging(
+            edges, R_rel.astype(np.float32), np.ones(len(edges)), n))
+        # gauge: compare relative rotations, which are gauge-free
+        for (i, j), Rr in zip(edges, R_rel):
+            err = R[j] @ R[i].T - Rr
+            assert np.abs(err).max() < 1e-3
+
+    def test_noisy_edges_stay_close(self):
+        rng = np.random.RandomState(1)
+        n = 8
+        R_gt = _rand_rotations(rng, n)
+        edges = _all_edges(n)
+        from scipy.spatial.transform import Rotation
+
+        noise = Rotation.from_rotvec(
+            0.02 * rng.randn(len(edges), 3)).as_matrix()
+        R_rel = np.einsum("ekl,elm->ekm", noise, np.einsum(
+            "ekl,eml->ekm", R_gt[edges[:, 1]], R_gt[edges[:, 0]]))
+        R = np.asarray(rotation_averaging(
+            edges, R_rel.astype(np.float32), np.ones(len(edges)), n))
+        for (i, j) in edges:
+            rel_est = R[j] @ R[i].T
+            rel_gt = R_gt[j] @ R_gt[i].T
+            ang = np.arccos(np.clip(
+                (np.trace(rel_est @ rel_gt.T) - 1) / 2, -1, 1))
+            assert ang < 0.08  # few deg despite per-edge noise
+
+
+class TestTranslationRecovery:
+    def test_recovers_centers_up_to_scale(self):
+        rng = np.random.RandomState(2)
+        n = 8
+        c_gt = rng.randn(n, 3)
+        c_gt -= c_gt[0]
+        edges = _all_edges(n)
+        d = c_gt[edges[:, 0]] - c_gt[edges[:, 1]]
+        c = translation_recovery(edges, d, np.ones(len(edges)), n)
+        # compare up to global scale (gauge ||c||=1) and sign
+        s = np.linalg.norm(c_gt) / max(np.linalg.norm(c), 1e-12)
+        err = np.abs(c * s - c_gt).max()
+        assert err < 1e-4
+
+    def test_sign_fixed_by_cheirality(self):
+        """The returned centers must agree with the edge directions
+        (d . (c_i - c_j) > 0 for clean input), not their negation."""
+        rng = np.random.RandomState(3)
+        n = 6
+        c_gt = rng.randn(n, 3)
+        c_gt -= c_gt[0]
+        edges = _all_edges(n)
+        d = c_gt[edges[:, 0]] - c_gt[edges[:, 1]]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        c = translation_recovery(edges, d, np.ones(len(edges)), n)
+        dots = np.einsum("ek,ek->e", d, c[edges[:, 0]] - c[edges[:, 1]])
+        assert (dots > 0).mean() > 0.9
+
+
+class TestGlobalSfME2E:
+    def test_reconstruction_ate(self):
+        """Full pipeline on a synthetic orbit; Sim3-aligned ATE gate.
+
+        The orbit has radius 8 m; an ATE gate at 0.15 m (<2% of scale)
+        fails badly if any stage (view graph, averaging, BA) breaks.
+        """
+        ds = SyntheticDataset(**SEQ)
+        ds.open("synth://")
+        sfm = GlobalSfM(ds.camera, max_kps=384, fast_threshold=0.08,
+                        min_pair_inliers=15, ba_iters=10)
+        gts, ts = [], []
+        for k, fr in enumerate(ds):
+            if k >= N_USE:
+                break
+            sfm.track(fr)
+            gts.append(fr.gt_pose[:3])
+            ts.append(fr.timestamp)
+        res = sfm.finalize()
+        assert res["n_frames"] == N_USE
+        assert res["n_edges"] >= N_USE - 1
+        m = evaluate_trajectory(np.asarray(ts), sfm.positions(),
+                                np.asarray(ts), np.stack(gts),
+                                with_scale=True)  # mono: Sim3 alignment
+        assert m.ate_rmse < 0.15
+        assert len(res["points"]) > 0
+
+    def test_finalize_is_cached_and_track_resets(self):
+        ds = SyntheticDataset(**SEQ)
+        ds.open("synth://")
+        sfm = GlobalSfM(ds.camera, max_kps=384, fast_threshold=0.08,
+                        min_pair_inliers=15, ba_iters=2)
+        frames = [fr for k, fr in zip(range(5), ds)]
+        for fr in frames[:4]:
+            sfm.track(fr)
+        with pytest.raises(ValueError):
+            GlobalSfM(ds.camera).finalize()
+        r1 = sfm.finalize()
+        assert sfm.finalize() is r1         # cached
+        sfm.track(frames[4])                # new frame invalidates
+        assert sfm._result is None
+
+    def test_registry(self):
+        from gslam_tpu.app.registry import SLAMS
+
+        ds = SyntheticDataset(**SEQ)
+        ds.open("synth://")
+        s = SLAMS.create("sfm", ds.camera)
+        assert isinstance(s, GlobalSfM)
