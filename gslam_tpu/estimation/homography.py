@@ -1,12 +1,19 @@
-"""Homography estimation (reference ``Estimator::findHomography``)."""
+"""Homography estimation + decomposition (reference
+``Estimator::findHomography``; decomposition has no direct upstream
+analog — the reference delegates it to its SLAM plugins' initializers —
+but is required for planar-scene two-view initialization, where the
+8-point essential solve is degenerate)."""
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
+from gslam_tpu.core.se3 import se3_make
+from gslam_tpu.core.so3 import matrix_to_quat, quat_rotate
 from gslam_tpu.estimation.epipolar import _normalize_points
 from gslam_tpu.estimation.ransac import run_ransac
 
@@ -54,3 +61,73 @@ def find_homography(key, pts1: jnp.ndarray, pts2: jnp.ndarray,
 
     return run_ransac(key, fit, homography_transfer_error, data, valid,
                       min_set=4, threshold=threshold, B=B)
+
+
+def decompose_homography(H: jnp.ndarray, rays1: jnp.ndarray,
+                         rays2: jnp.ndarray, valid: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Calibrated H (x2 ~ H x1, normalized coords) -> relative pose
+    T_21 (7,) by cheirality voting over the 8 Faugeras-Lustman solutions.
+
+    H decomposes as ``s (R + t n^T / d)``; with singular values
+    d1 >= d2 >= d3 the classic closed form yields, per sign choice
+    (eps1, eps3) and per +/- d2 branch, a candidate (R, t, n).  All 8
+    are scored in parallel: triangulate every correspondence, count
+    points in front of both cameras (and on the plane's visible side).
+    |t| = 1 on return (monocular scale).  Degenerate pure-rotation
+    homographies (d1 ~ d3) decompose to t ~ 0; callers should gate on
+    parallax before trusting the translation direction.
+    """
+    from gslam_tpu.estimation.epipolar import triangulate
+
+    u, d, vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    den = jnp.maximum(d1 * d1 - d3 * d3, _EPS)
+    x1m = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / den)
+    x3m = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / den)
+    d2s = jnp.maximum(d2, _EPS)
+
+    def cand(e1, e3, positive):
+        x1 = e1 * x1m
+        x3 = e3 * x3m
+        if positive:   # d' = +d2 branch
+            st = (d1 - d3) * x1 * x3 / d2s
+            ct = (d1 * x3 * x3 + d3 * x1 * x1) / d2s
+            Rp = jnp.array([[1.0, 0.0, 0.0],
+                            [0.0, 1.0, 0.0],
+                            [0.0, 0.0, 1.0]])
+            Rp = Rp.at[0, 0].set(ct).at[0, 2].set(-st)
+            Rp = Rp.at[2, 0].set(st).at[2, 2].set(ct)
+            tp = (d1 - d3) * jnp.stack([x1, 0.0 * x1, -x3])
+        else:          # d' = -d2 branch
+            sp = (d1 + d3) * x1 * x3 / d2s
+            cp = (d3 * x1 * x1 - d1 * x3 * x3) / d2s
+            Rp = jnp.zeros((3, 3))
+            Rp = Rp.at[0, 0].set(cp).at[0, 2].set(sp)
+            Rp = Rp.at[1, 1].set(-1.0)
+            Rp = Rp.at[2, 0].set(sp).at[2, 2].set(-cp)
+            tp = (d1 + d3) * jnp.stack([x1, 0.0 * x1, x3])
+        R = s * (u @ Rp @ vt)
+        t = u @ tp
+        return R, t / jnp.maximum(jnp.linalg.norm(t), _EPS)
+
+    cands = [cand(e1, e3, pos)
+             for pos in (True, False)
+             for e1 in (1.0, -1.0)
+             for e3 in (1.0, -1.0)]
+
+    def score(Rt):
+        R, tt = Rt
+        T21 = se3_make(tt, matrix_to_quat(R))
+        X, dpt1 = triangulate(
+            se3_make(jnp.zeros(3), jnp.asarray([1.0, 0.0, 0.0, 0.0])),
+            T21, rays1, rays2)
+        dpt2 = (quat_rotate(T21[3:7], X) + T21[:3])[..., 2]
+        return jnp.sum((dpt1 > 0) & (dpt2 > 0) & valid), T21
+
+    scored = [score(c) for c in cands]
+    scores = jnp.stack([sc for sc, _ in scored])
+    poses = jnp.stack([p for _, p in scored])
+    best = jnp.argmax(scores)
+    return poses[best], scores[best]

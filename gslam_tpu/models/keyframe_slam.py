@@ -35,8 +35,8 @@ from gslam_tpu.core.se3 import (se3_apply, se3_identity, se3_inverse,
 from gslam_tpu.core.sim3 import sim3_from_se3
 from gslam_tpu.datasets.base import FrameData
 from gslam_tpu.estimation.pnp import find_pnp_ransac, pnp_reproj_error
-from gslam_tpu.estimation.epipolar import (decompose_essential,
-                                           find_essential, triangulate)
+from gslam_tpu.estimation.epipolar import triangulate
+from gslam_tpu.estimation.init2view import two_view_geometry
 from gslam_tpu.map.arena import (MapArena, add_observations,
                                  covisibility_topk, frame_point_ids,
                                  insert_frame, insert_points, make_arena)
@@ -241,11 +241,14 @@ class KeyframeSLAM:
             return
         rays1 = self.camera.unproject(self._prev_feats.uv)[:, :2]
         rays2 = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
-        E, inl, n = find_essential(self._next_key(), rays1, rays2,
-                                   m.valid, threshold=2e-6)
-        if int(n) < 20:
+        # H/E model selection: the 8-point essential solve is degenerate
+        # when the bootstrap scene is (near-)planar — a common failure
+        # of mono initialization that the homography path covers
+        tv = two_view_geometry(self._next_key(), rays1, rays2, m.valid,
+                               sigma=1.0 / float(self.camera.fx))
+        if int(tv.n_inliers) < 20:
             return
-        T21, _ = decompose_essential(E, rays1, rays2, inl)
+        T21, inl = tv.T_21, tv.inliers
         # fix scale: unit baseline
         I7 = se3_identity()
         X, d1 = triangulate(I7, T21, rays1, rays2)

@@ -28,7 +28,7 @@ from gslam_tpu.app.registry import SLAMS
 from gslam_tpu.core.camera import Camera
 from gslam_tpu.core.se3 import se3_identity, se3_inverse, se3_mul
 from gslam_tpu.datasets.base import FrameData
-from gslam_tpu.estimation.epipolar import decompose_essential, find_essential
+from gslam_tpu.estimation.init2view import two_view_geometry
 from gslam_tpu.estimation.pnp import find_pnp_ransac
 from gslam_tpu.ops.frontend import Features, extract_features
 from gslam_tpu.ops.matching import match_descriptors
@@ -113,14 +113,16 @@ class FrameToFrameOdometry:
             if int(n) >= 10:
                 return T, int(n)
             return None
-        # mono: essential matrix
+        # mono: two-view geometry with H/E model selection (planar-safe)
         with timer.section("odom/essential"):
-            E, inl, n = find_essential(self._next_key(), rays_prev,
-                                       rays_cur, valid, threshold=2e-6)
-            timer.block(E)
+            tv = two_view_geometry(self._next_key(), rays_prev,
+                                   rays_cur, valid,
+                                   sigma=1.0 / float(self.camera.fx))
+            timer.block(tv.T_21)
+        n = tv.n_inliers
         if int(n) < 10:
             return None
-        T21, score = decompose_essential(E, rays_prev, rays_cur, inl)
+        T21 = tv.T_21
         t = T21[:3]
         t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9) * self.scale_hint
         return T21.at[:3].set(t), int(n)

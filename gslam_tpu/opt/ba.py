@@ -100,6 +100,16 @@ def _project_residual_jac(problem: BundleProblem
     return r, Jc, Jp, valid
 
 
+def reprojection_errors(problem: BundleProblem
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-observation reprojection error norm (P, O) + validity mask.
+
+    For outlier pruning between BA rounds (observations behind the
+    camera are reported invalid)."""
+    r, _, _, valid = _project_residual_jac(problem)
+    return jnp.linalg.norm(r, axis=-1), valid
+
+
 def ba_cost(problem: BundleProblem, huber_delta: float = 0.01
             ) -> jnp.ndarray:
     """Total robust chi2 (for tests/monitoring)."""
@@ -208,7 +218,12 @@ def bundle_adjust(problem: BundleProblem, iters: int = 10,
         new_pose, new_xyz = apply_update(cam_pose, point_xyz, S, b_s, Wf,
                                          Hpp_inv, bp)
         new_cost = cost_of(new_pose, new_xyz)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        # NaN poses can zero-out every observation's validity mask and
+        # masquerade as cost 0, so finiteness of the STATE is part of
+        # the acceptance test, not just finiteness of the cost
+        accept = ((new_cost < cost) & jnp.isfinite(new_cost)
+                  & jnp.isfinite(new_pose).all()
+                  & jnp.isfinite(new_xyz).all())
         cam_pose = jnp.where(accept, new_pose, cam_pose)
         point_xyz = jnp.where(accept, new_xyz, point_xyz)
         cost_out = jnp.where(accept, new_cost, cost)
