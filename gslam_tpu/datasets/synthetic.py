@@ -169,9 +169,10 @@ class SyntheticDataset(Dataset):
             axis = np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
                              dR[1, 0] - dR[0, 1]]) / (2 * np.sin(angle))
         w_body = axis * angle / dt_f
-        # world acceleration from centers at idx-1, idx, idx+1
-        Rp, tp = _pose_cam_to_world(c["motion"], max(idx - 2, 0), n,
-                                    c["radius"])
+        # world acceleration from centers at idx-2, idx-1, idx (the pose
+        # functions are analytic, so idx-2 = -1 is valid for the first
+        # window — clamping it would fabricate a v/dt acceleration spike)
+        Rp, tp = _pose_cam_to_world(c["motion"], idx - 2, n, c["radius"])
         a_w = (t1 - 2 * t0 + tp) / dt_f ** 2
         g_w = np.array([0.0, 0.0, -9.81])
         a_body = R0.T @ (a_w - g_w)

@@ -78,6 +78,12 @@ class SLAMConfig:
     cap_points: int = 16384
     cap_obs: int = 65536
     seed: int = 0
+    # visual-inertial estimation (frames carrying IMU windows)
+    enable_vi_ba: bool = True      # joint VI local BA once initialized
+    vi_min_factors: int = 3        # inter-KF factors before VI init
+    vi_ba_iters: int = 8
+    imu_gyro_noise: float = 1e-3   # continuous-time noise densities
+    imu_accel_noise: float = 1e-2  # (sized to cover integration error)
 
 
 class KeyframeSLAM:
@@ -108,10 +114,17 @@ class KeyframeSLAM:
         self.stats: List[dict] = []
         self._prev_feats: Optional[Features] = None
         self._prev_frame: Optional[FrameData] = None
-        # VI: gyro delta accumulated since the last keyframe -> becomes
-        # a rotation-only pose-graph edge between consecutive keyframes
-        self._imu_dq_acc = None
+        # VI state: full preintegrated factor accumulated since the last
+        # keyframe (Forster-style, core/imu.py) -> inter-keyframe IMU
+        # factors for joint VI-BA, plus rotation-only pose-graph edges
+        self._imu_acc = None               # ImuFactor or None
         self.imu_edges: List[tuple] = []   # (kf_i, kf_j, dq ndarray)
+        self.imu_factors: List[tuple] = []  # (kf_i, kf_j, ImuFactor)
+        self.kf_vel: dict = {}             # kf id -> world velocity (3,)
+        self.gravity_w = None              # (3,) after VI init
+        self.vi_ready = False
+        self.bias_g = np.zeros(3, np.float32)
+        self.bias_a = np.zeros(3, np.float32)
 
     # ------------------------------------------------------------------
     def valid(self) -> bool:
@@ -154,17 +167,20 @@ class KeyframeSLAM:
             timer.block(feats)
         self._cur_kp_depth = self._kp_depths(frame, feats)
 
-        # preintegrate the frame's IMU window once: feeds the gyro-aided
-        # motion model below AND accumulates toward the keyframe edge
+        # preintegrate the frame's IMU window once (full Forster factor):
+        # feeds the gyro-aided motion model below AND accumulates toward
+        # the inter-keyframe factor consumed by VI-BA / the pose graph
         imu_delta = None
         if frame.imu is not None and len(frame.imu) > 1:
-            from gslam_tpu.core.imu import preintegrate
-            from gslam_tpu.core.so3 import quat_mul
+            from gslam_tpu.core.imu import compose_factors, preintegrate_full
 
-            imu_delta = preintegrate(jnp.asarray(frame.imu, jnp.float32),
-                                     jnp.ones(len(frame.imu), bool))
-            self._imu_dq_acc = imu_delta.dq if self._imu_dq_acc is None \
-                else quat_mul(self._imu_dq_acc, imu_delta.dq)
+            imu_delta = preintegrate_full(
+                jnp.asarray(frame.imu, jnp.float32),
+                jnp.ones(len(frame.imu), bool),
+                gyro_noise=c.imu_gyro_noise,
+                accel_noise=c.imu_accel_noise)
+            self._imu_acc = imu_delta if self._imu_acc is None \
+                else compose_factors(self._imu_acc, imu_delta)
 
         n_inliers = 0
         n_matches = 0
@@ -357,12 +373,18 @@ class KeyframeSLAM:
             fid = self._insert_frame_only(frame, feats, pose_cw)
             if fid < 0:
                 return
-            # VI: emit the accumulated gyro delta as a rotation-only
-            # inter-keyframe edge (consumed by loop-closure pose graph)
-            if self._imu_dq_acc is not None and self.last_kf_id >= 0:
+            # VI: emit the accumulated factor as (a) a rotation-only
+            # pose-graph edge (loop closure) and (b) a full IMU factor
+            # between consecutive keyframes (joint VI-BA)
+            if self._imu_acc is not None and self.last_kf_id >= 0:
                 self.imu_edges.append(
-                    (fid, self.last_kf_id, np.asarray(self._imu_dq_acc)))
-            self._imu_dq_acc = None
+                    (fid, self.last_kf_id, np.asarray(self._imu_acc.dq)))
+                self.imu_factors.append(
+                    (self.last_kf_id, fid,
+                     jax.tree_util.tree_map(np.asarray, self._imu_acc)))
+                self._predict_kf_velocity(self.last_kf_id, fid,
+                                          self._imu_acc)
+            self._imu_acc = None
             # 1. observations of tracked existing points
             matched_kp_mask = jnp.zeros((c.max_kps,), bool)
             if self.initialized and hasattr(self, "_last_track"):
@@ -393,6 +415,7 @@ class KeyframeSLAM:
                 self._triangulate_new_points(fid, feats, pose_cw)
         self.last_kf_id = fid
         self.frames_since_kf = 0
+        self._maybe_vi_init()
         if run_ba and self.cfg.enable_ba and int(self.arena.n_frames) >= 2:
             self._local_ba()
         if self.loop_closer is not None and fid >= 0:
@@ -408,6 +431,69 @@ class KeyframeSLAM:
                     self.pose_wc = se3_inverse(
                         self.arena.frame_pose[fid][:7])
                     self.velocity = se3_identity()
+
+    # -- visual-inertial state ---------------------------------------------
+    def _predict_kf_velocity(self, i: int, j: int, factor) -> None:
+        """Seed keyframe j's world velocity from i's + the IMU factor."""
+        from gslam_tpu.core.so3 import quat_to_matrix
+
+        if not self.vi_ready or i not in self.kf_vel:
+            return
+        v_i = self.kf_vel[i]
+        pose_cw_i = np.asarray(self.arena.frame_pose[i][:7])
+        R_wb = np.asarray(quat_to_matrix(
+            jnp.asarray(pose_cw_i[3:7]))).T
+        dt = float(factor.dt)
+        self.kf_vel[j] = (v_i + self.gravity_w * dt
+                          + R_wb @ np.asarray(factor.dv)).astype(
+            np.float32)
+
+    def _maybe_vi_init(self) -> None:
+        """Visual-inertial alignment once enough inter-KF factors exist:
+        linear gravity/velocity (+ mono scale) estimation, then gravity
+        is fixed for the joint VI-BA (reference analog: the VI
+        initialization stage of VI SLAM plugins; SURVEY 5.7)."""
+        c = self.cfg
+        if (self.vi_ready or not c.enable_vi_ba
+                or len(self.imu_factors) < c.vi_min_factors):
+            return
+        from gslam_tpu.opt.vi import (estimate_gravity_velocity,
+                                      stack_factors)
+
+        kf_ids = sorted({i for i, _, _ in self.imu_factors}
+                        | {j for _, j, _ in self.imu_factors})
+        id2loc = {f: k for k, f in enumerate(kf_ids)}
+        poses = np.stack([np.asarray(self.arena.frame_pose[f][:7])
+                          for f in kf_ids])
+        pair_i = np.asarray([id2loc[i] for i, _, _ in self.imu_factors])
+        pair_j = np.asarray([id2loc[j] for _, j, _ in self.imu_factors])
+        imu = stack_factors([f for _, _, f in self.imu_factors])
+        mono = self._cur_kp_depth is None
+        g, vel, s = estimate_gravity_velocity(
+            jnp.asarray(poses), jnp.asarray(pair_i), jnp.asarray(pair_j),
+            imu, with_scale=mono)
+        if not np.isfinite(g).all() or not np.isfinite(vel).all():
+            return
+        if mono and (not np.isfinite(s) or not 0.05 < s < 50.0):
+            return  # degenerate alignment; retry with more factors later
+        if mono and abs(s - 1.0) > 1e-3:
+            self._apply_map_scale(float(s))
+            vel = vel  # velocities are already metric (solved jointly)
+        self.gravity_w = g.astype(np.float32)
+        for k, f in enumerate(kf_ids):
+            self.kf_vel[f] = vel[k].astype(np.float32)
+        self.vi_ready = True
+
+    def _apply_map_scale(self, s: float) -> None:
+        """Rescale the vision world to metric (mono VI alignment)."""
+        a = self.arena
+        fp = a.frame_pose.at[:, :3].multiply(s)
+        self.arena = a.replace(
+            frame_pose=fp,
+            point_xyz=a.point_xyz * s,
+            frame_kp_depth=a.frame_kp_depth * s)
+        self.pose_wc = self.pose_wc.at[:3].multiply(s)
+        self.velocity = self.velocity.at[:3].multiply(s)
 
     def _relocalize(self, feats: Features) -> bool:
         """BoW relocalization after tracking loss (reference: the
@@ -517,13 +603,58 @@ class KeyframeSLAM:
             problem, _ = build_problem_from_arena(
                 self.arena, cam_ids, point_ids, fixed, self.camera,
                 max_obs_per_point=c.ba_obs_per_point)
-            problem, stats = bundle_adjust(problem, iters=c.ba_iters)
+            if self.vi_ready and c.enable_vi_ba:
+                problem = self._vi_local_ba(problem, cam_ids)
+            else:
+                problem, stats = bundle_adjust(problem, iters=c.ba_iters)
             self.arena = write_back_to_arena(self.arena, problem, cam_ids,
                                              point_ids)
             timer.block(self.arena)
         # refresh current pose from the optimized last KF
         self.pose_wc = se3_inverse(self.arena.frame_pose[
             self.last_kf_id][:7])
+
+    def _vi_local_ba(self, problem, cam_ids):
+        """Joint visual-inertial local BA over the covisibility window.
+
+        IMU factors whose endpoints are both in the window become
+        pose-velocity-bias constraints; the pair slot count is fixed at
+        ba_window so the jitted VI-BA compiles once."""
+        from gslam_tpu.core.imu import identity_factor
+        from gslam_tpu.opt.vi import (ViProblem, stack_factors,
+                                      vi_bundle_adjust)
+
+        c = self.cfg
+        cam_list = [int(x) for x in np.asarray(cam_ids)]
+        loc = {f: k for k, f in enumerate(cam_list) if f >= 0}
+        K = c.ba_window
+        pi = np.full(K, -1, np.int32)
+        pj = np.full(K, -1, np.int32)
+        pv = np.zeros(K, bool)
+        facs = []
+        for (i, j, f) in self.imu_factors:
+            if i in loc and j in loc and len(facs) < K:
+                k = len(facs)
+                pi[k], pj[k], pv[k] = loc[i], loc[j], True
+                facs.append(f)
+        while len(facs) < K:
+            facs.append(identity_factor())
+        vel = np.stack([self.kf_vel.get(f, np.zeros(3, np.float32))
+                        for f in cam_list])
+        vip = ViProblem(
+            vision=problem, vel=jnp.asarray(vel, jnp.float32),
+            pair_i=jnp.asarray(pi), pair_j=jnp.asarray(pj),
+            pair_valid=jnp.asarray(pv), imu=stack_factors(facs),
+            gravity_w=jnp.asarray(self.gravity_w),
+            bias_g=jnp.asarray(self.bias_g),
+            bias_a=jnp.asarray(self.bias_a))
+        out, costs = vi_bundle_adjust(vip, iters=c.vi_ba_iters)
+        out_vel = np.asarray(out.vel)
+        for f, k in loc.items():
+            self.kf_vel[f] = out_vel[k]
+        self.bias_g = np.asarray(out.bias_g)
+        self.bias_a = np.asarray(out.bias_a)
+        return out.vision
 
     # -- evaluation helpers -------------------------------------------------
     def positions(self) -> np.ndarray:

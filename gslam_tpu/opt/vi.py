@@ -1,0 +1,400 @@
+"""Visual-inertial bundle adjustment + visual-inertial initialization.
+
+The reference exposes IMU data on frames (``GSLAM/core/MapFrame.h`` IMU
+accessors) and relative-pose/IMU-style edges in its optimizer interface
+(``GSLAM/core/Optimizer.h``); the actual VI estimation lived in
+out-of-tree plugins.  This module is the TPU-native VI estimator:
+
+* :func:`vi_bundle_adjust` — joint LM over keyframe poses, per-keyframe
+  world velocities, shared gyro/accel biases and landmarks.  The vision
+  term is the same per-point padded reprojection layout as
+  :mod:`gslam_tpu.opt.ba` with landmarks Schur-eliminated (per-point 3x3
+  inverses + one GEMM); preintegrated IMU factors (Forster TRO'16,
+  :class:`gslam_tpu.core.imu.ImuFactor`) couple consecutive keyframes
+  on the *reduced* camera system — they involve no landmarks, so adding
+  their Gauss-Newton blocks post-Schur is exact.  IMU residual Jacobians
+  come from forward-mode autodiff of the 9-dim residual at the current
+  linearization point (24 local dims per factor — cheap, and immune to
+  hand-derivation sign errors; the vision Jacobians stay analytic).
+* :func:`estimate_gravity_velocity` — linear visual-inertial alignment
+  (VINS-style): solve keyframe velocities + gravity (+ optional
+  monocular scale) from vision poses and preintegrated deltas.
+* :func:`gravity_align_rotation` — world rotation taking the estimated
+  gravity to the canonical -z axis.
+
+State layout in the normal equations: [xi (6C) | vel (3C) | bg 3 | ba 3]
+with left-multiplicative SE3 twists on T_cw (matching opt.ba).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.core.imu import GRAVITY, ImuFactor
+from gslam_tpu.core.se3 import se3_exp, se3_mul
+from gslam_tpu.core.so3 import (quat_mul, quat_to_matrix, so3_exp, so3_log)
+from gslam_tpu.opt.ba import BundleProblem, _project_residual_jac, ba_cost
+from gslam_tpu.opt.robust import huber_weight
+
+_EPS = 1e-12
+
+
+class ViProblem(NamedTuple):
+    """Visual-inertial window: vision problem + IMU chain."""
+
+    vision: BundleProblem     # poses are T_cw == T_bw (body == cam here;
+    #                           apply extrinsics upstream)
+    vel: jnp.ndarray          # (C, 3) world-frame velocity per keyframe
+    pair_i: jnp.ndarray       # (K,) int32 cam index of factor start
+    pair_j: jnp.ndarray       # (K,) int32 cam index of factor end
+    pair_valid: jnp.ndarray   # (K,) bool
+    imu: ImuFactor            # stacked (K, ...) preintegrated factors
+    gravity_w: jnp.ndarray    # (3,) world gravity (e.g. [0, 0, -9.81])
+    bias_g: jnp.ndarray       # (3,) current gyro bias estimate
+    bias_a: jnp.ndarray       # (3,) current accel bias estimate
+
+
+def _body_pose(pose_cw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """T_cw (…,7) -> (R_wb (…,3,3), p_wb (…,3))."""
+    R_cw = quat_to_matrix(pose_cw[..., 3:7])
+    R_wb = jnp.swapaxes(R_cw, -1, -2)
+    p_wb = -jnp.einsum("...ij,...j->...i", R_wb, pose_cw[..., :3])
+    return R_wb, p_wb
+
+
+def _imu_residual(pose_i: jnp.ndarray, pose_j: jnp.ndarray,
+                  v_i: jnp.ndarray, v_j: jnp.ndarray,
+                  bg: jnp.ndarray, ba: jnp.ndarray,
+                  f: ImuFactor, g_w: jnp.ndarray) -> jnp.ndarray:
+    """(9,) Forster residual [r_R, r_v, r_p] for one factor."""
+    R_i, p_i = _body_pose(pose_i)
+    R_j, p_j = _body_pose(pose_j)
+    dt = f.dt
+    # bias-corrected deltas (first order around zero integration bias)
+    dq_c = quat_mul(f.dq, so3_exp(f.J_R_bg @ bg))
+    dv_c = f.dv + f.J_v_bg @ bg + f.J_v_ba @ ba
+    dp_c = f.dp + f.J_p_bg @ bg + f.J_p_ba @ ba
+    dR_c = quat_to_matrix(dq_c)
+    r_R = so3_log_mat(dR_c.T @ (R_i.T @ R_j))
+    r_v = R_i.T @ (v_j - v_i - g_w * dt) - dv_c
+    r_p = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * g_w * dt * dt) - dp_c
+    return jnp.concatenate([r_R, r_v, r_p])
+
+
+def so3_log_mat(R: jnp.ndarray) -> jnp.ndarray:
+    """Log map of a rotation matrix -> (3,) axis-angle.
+
+    AD-safe at the identity (the residual's operating point): formulated
+    via atan2 of ||vee(R - R^T)|| with the double-where guard so
+    forward-mode Jacobians stay finite when the residual is exactly 0
+    (arccos-based logs have an infinite derivative there).
+    """
+    w = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                   R[1, 0] - R[0, 1]])          # 2 sin(th) * axis
+    s2 = jnp.sum(w * w)                         # 4 sin^2(th)
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, 1.0, s2)
+    s = jnp.sqrt(s2_safe)                       # 2 sin(th)
+    c = jnp.trace(R) - 1.0                      # 2 cos(th)
+    th = jnp.arctan2(s, c)
+    # log = w * th / (2 sin th); near 0: 0.5 + th^2/12, th^2 ~ s2/4
+    scale = jnp.where(small, 0.5 + s2 / 48.0, th / s)
+    return w * scale
+
+
+def _factor_info(cov: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
+    """(9, 9) information = inv(cov + floor); zero-dt factors get 0."""
+    W = jnp.linalg.inv(cov + 1e-10 * jnp.eye(9))
+    return jnp.where(dt > 0, W, jnp.zeros((9, 9)))
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "warm_start"))
+def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
+                     lm_lambda0: float = 1e-4, huber_delta: float = 0.01,
+                     bias_prior: float = 1e4, warm_start: int = 2
+                     ) -> Tuple[ViProblem, jnp.ndarray]:
+    """Joint visual-inertial LM.  Returns (updated problem, costs).
+
+    costs: (iters + 1,) total chi2 (robust vision + IMU) per iteration.
+
+    The first ``warm_start`` iterations update only velocities and
+    biases with poses/landmarks held (velocities enter the IMU
+    residuals linearly, so this lands them at their conditional optimum
+    before the joint steps — without it a poor velocity guess routinely
+    drags the joint problem into a bad basin).
+    """
+    vis = problem.vision
+    C = vis.cam_pose.shape[0]
+    P = vis.point_xyz.shape[0]
+    K = problem.pair_i.shape[0]
+    N = 9 * C + 6
+
+    cam_free = ~vis.cam_fixed
+    pt_free = ~vis.point_fixed
+    g_w = problem.gravity_w
+
+    infos = jax.vmap(_factor_info)(problem.imu.cov, problem.imu.dt)
+    infos = infos * problem.pair_valid[:, None, None]
+
+    # local-parameter index map per factor: [xi_i, xi_j, v_i, v_j, bg, ba]
+    def factor_idx(i, j):
+        return jnp.concatenate([
+            6 * i + jnp.arange(6), 6 * j + jnp.arange(6),
+            6 * C + 3 * i + jnp.arange(3), 6 * C + 3 * j + jnp.arange(3),
+            9 * C + jnp.arange(3), 9 * C + 3 + jnp.arange(3)])
+
+    # invalid pairs are clipped to index 0; their info matrices are zero
+    # so the scattered H/b contributions vanish
+    pi = problem.pair_i.clip(0)
+    pj = problem.pair_j.clip(0)
+    idx = jax.vmap(factor_idx)(pi, pj)  # (K, 24)
+
+    def imu_terms(cam_pose, vel, bg, ba):
+        """Residuals r (K,9), Jacobians J (K,9,24) at the current state."""
+        def one(i, j, f):
+            p_i0 = cam_pose[i]
+            p_j0 = cam_pose[j]
+            v_i0 = vel[i]
+            v_j0 = vel[j]
+
+            def res(z):
+                xi_i, xi_j, dvi, dvj, dbg, dba = (
+                    z[:6], z[6:12], z[12:15], z[15:18], z[18:21], z[21:24])
+                return _imu_residual(
+                    se3_mul(se3_exp(xi_i), p_i0),
+                    se3_mul(se3_exp(xi_j), p_j0),
+                    v_i0 + dvi, v_j0 + dvj, bg + dbg, ba + dba, f, g_w)
+
+            z0 = jnp.zeros(24)
+            return res(z0), jax.jacfwd(res)(z0)
+
+        return jax.vmap(one)(pi, pj, problem.imu)
+
+    def imu_cost(r):
+        return jnp.einsum("ka,kab,kb->", r, infos, r)
+
+    def vision_normal_eq(cam_pose, point_xyz, lam):
+        """Schur-reduced vision system (same math as opt.ba)."""
+        prob = vis._replace(cam_pose=cam_pose, point_xyz=point_xyz)
+        r, Jc, Jp, valid = _project_residual_jac(prob)
+        e = jnp.linalg.norm(r, axis=-1)
+        w = prob.obs_weight * huber_weight(e, huber_delta)
+        w = jnp.where(valid, w, 0.0)
+        Jc = Jc * cam_free[prob.obs_cam][..., None, None]
+        Jp = Jp * pt_free[:, None, None, None]
+        sw = w[..., None, None]
+        Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)
+        bp = jnp.einsum("poia,poi->pa", Jp * sw, r)
+        Hcc_e = jnp.einsum("poia,poib->poab", Jc * sw, Jc)
+        bc_e = jnp.einsum("poia,poi->poa", Jc * sw, r)
+        cam_flat = prob.obs_cam.reshape(-1)
+        Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(Hcc_e.reshape(-1, 6, 6))
+        bc = jnp.zeros((C, 6)).at[cam_flat].add(bc_e.reshape(-1, 6))
+        W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
+        Wd = jnp.zeros((C, 6, P, 3)).at[
+            prob.obs_cam.reshape(-1), :,
+            jnp.repeat(jnp.arange(P), prob.obs_cam.shape[1]), :].add(
+            W_e.reshape(-1, 6, 3))
+        Hpp = Hpp + (lam * jnp.eye(3))[None]
+        Hpp = jnp.where(pt_free[:, None, None], Hpp, jnp.eye(3)[None])
+        Hpp_inv = jnp.linalg.inv(Hpp)
+        bp = bp * pt_free[:, None]
+        bc = bc * cam_free[:, None]
+        Wf = Wd.reshape(C * 6, P * 3)
+        Y = jnp.einsum("cpq,pqr->cpr", Wd.reshape(C * 6, P, 3), Hpp_inv)
+        Yf = Y.reshape(C * 6, P * 3)
+        ii = jnp.arange(C)
+        rows = jnp.broadcast_to(
+            ii[:, None, None] * 6 + jnp.arange(6)[None, :, None],
+            (C, 6, 6)).reshape(-1)
+        cols = jnp.broadcast_to(
+            ii[:, None, None] * 6 + jnp.arange(6)[None, None, :],
+            (C, 6, 6)).reshape(-1)
+        Hcc_d = jnp.zeros((C * 6, C * 6)).at[rows, cols].set(
+            Hcc.reshape(-1))
+        S = Hcc_d - jnp.dot(Yf, Wf.T, preferred_element_type=jnp.float32)
+        b_s = bc.reshape(-1) - Yf @ bp.reshape(-1)
+        return S, b_s, Wf, Hpp_inv, bp
+
+    def total_cost(cam_pose, point_xyz, vel, bg, ba):
+        vc = ba_cost(vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
+                     huber_delta)
+        r, _ = imu_terms(cam_pose, vel, bg, ba)
+        return vc + imu_cost(r)
+
+    def lm_step(state, poses_free):
+        cam_pose, point_xyz, vel, bg, ba, lam, cost = state
+        S, b_s, Wf, Hpp_inv, bp = vision_normal_eq(cam_pose, point_xyz, lam)
+        r, J = imu_terms(cam_pose, vel, bg, ba)
+
+        # assemble the full system over [xi | vel | bg ba]
+        H = jnp.zeros((N, N))
+        b = jnp.zeros((N,))
+        H = H.at[:6 * C, :6 * C].add(S)
+        b = b.at[:6 * C].add(b_s)
+        WJ = jnp.einsum("kab,kbd->kad", infos, J)      # (K, 9, 24)
+        Hk = jnp.einsum("kda,kdb->kab", J, WJ)         # (K, 24, 24)
+        bk = jnp.einsum("kda,kd->ka", WJ, r)           # (K, 24)
+        H = H.at[idx[:, :, None], idx[:, None, :]].add(Hk)
+        b = b.at[idx].add(bk)
+        # bias random-walk prior keeps biases observable when K is small
+        bias_sl = jnp.arange(9 * C, N)
+        H = H.at[bias_sl, bias_sl].add(bias_prior)
+        b = b.at[bias_sl].add(bias_prior * jnp.concatenate([bg, ba]))
+        # fixed cameras pin only the POSE rows (pose gauge); velocities
+        # are never gauge dofs — pinning the gauge keyframe's velocity
+        # at a wrong guess would distort the whole IMU chain.  During
+        # warm-start iterations the pose block is frozen entirely.
+        free = jnp.concatenate([
+            jnp.repeat(cam_free, 6) & poses_free,
+            jnp.ones(3 * C, bool), jnp.ones(6, bool)])
+        H = jnp.where(free[:, None] & free[None, :], H, 0.0)
+        H = H.at[jnp.arange(N), jnp.arange(N)].add(
+            jnp.where(free, lam, 1.0))
+        b = b * free
+
+        dx = -jnp.linalg.solve(H + 1e-8 * jnp.eye(N), b)
+        dx = dx * free
+        dxc = dx[:6 * C].reshape(C, 6) * cam_free[:, None]
+        dvel = dx[6 * C:9 * C].reshape(C, 3)
+        dbg = dx[9 * C:9 * C + 3]
+        dba = dx[9 * C + 3:]
+        # landmark back-substitution (vision pieces only); frozen along
+        # with poses during warm-start
+        Wt_dxc = (Wf.T @ dx[:6 * C]).reshape(P, 3)
+        dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + Wt_dxc)
+        dxp = dxp * pt_free[:, None] * poses_free
+
+        new_pose = se3_mul(se3_exp(dxc), cam_pose)
+        new_xyz = point_xyz + dxp
+        new_vel = vel + dvel
+        new_bg = bg + dbg
+        new_ba = ba + dba
+        new_cost = total_cost(new_pose, new_xyz, new_vel, new_bg, new_ba)
+        accept = ((new_cost < cost) & jnp.isfinite(new_cost)
+                  & jnp.isfinite(new_pose).all()
+                  & jnp.isfinite(new_xyz).all()
+                  & jnp.isfinite(new_vel).all())
+        sel = lambda a, o: jnp.where(accept, a, o)  # noqa: E731
+        state = (sel(new_pose, cam_pose), sel(new_xyz, point_xyz),
+                 sel(new_vel, vel), sel(new_bg, bg), sel(new_ba, ba),
+                 jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e3),
+                 sel(new_cost, cost))
+        return state, state[-1]
+
+    cost0 = total_cost(vis.cam_pose, vis.point_xyz, problem.vel,
+                       problem.bias_g, problem.bias_a)
+    init = (vis.cam_pose, vis.point_xyz, problem.vel, problem.bias_g,
+            problem.bias_a, jnp.asarray(lm_lambda0, jnp.float32), cost0)
+    sched = jnp.arange(iters) >= min(warm_start, iters)
+    (cam_pose, point_xyz, vel, bg, ba, _, _), costs = jax.lax.scan(
+        lm_step, init, sched)
+    out = problem._replace(
+        vision=vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
+        vel=vel, bias_g=bg, bias_a=ba)
+    return out, jnp.concatenate([cost0[None], costs])
+
+
+# ---------------------------------------------------------------------------
+# visual-inertial initialization (gravity / velocity / scale alignment)
+
+
+def stack_factors(factors: list) -> ImuFactor:
+    """List of ImuFactor -> stacked (K, ...) ImuFactor pytree."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *factors)
+
+
+def estimate_gravity_velocity(poses_cw: jnp.ndarray, pair_i: jnp.ndarray,
+                              pair_j: jnp.ndarray, imu: ImuFactor,
+                              with_scale: bool = False,
+                              fix_magnitude: bool = True
+                              ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Linear VI alignment: (gravity_w (3,), vel (C,3), scale).
+
+    Solves the stacked preintegration constraints for per-keyframe
+    world velocities, gravity, and (mono) metric scale given vision
+    keyframe poses (VINS-Mono-style initialization; least squares on
+    host in f64).  With ``fix_magnitude``, gravity is renormalized to
+    9.81 and velocities re-solved with gravity fixed (second pass).
+    """
+    poses = np.asarray(poses_cw, np.float64)
+    C = poses.shape[0]
+    pi = np.asarray(pair_i)
+    pj = np.asarray(pair_j)
+    K = pi.shape[0]
+    R_wb = np.zeros((C, 3, 3))
+    p_wb = np.zeros((C, 3))
+    for c in range(C):
+        R_cw = np.asarray(quat_to_matrix(jnp.asarray(poses[c, 3:7],
+                                                     jnp.float32)),
+                          np.float64)
+        R_wb[c] = R_cw.T
+        p_wb[c] = -R_cw.T @ poses[c, :3]
+    dv = np.asarray(imu.dv, np.float64)
+    dp = np.asarray(imu.dp, np.float64)
+    dt = np.asarray(imu.dt, np.float64)
+
+    n_x = 3 * C + 3 + (1 if with_scale else 0)
+    A = np.zeros((6 * K, n_x))
+    rhs = np.zeros(6 * K)
+    for k in range(K):
+        i, j = int(pi[k]), int(pj[k])
+        Ri_T = R_wb[i].T
+        T = dt[k]
+        # velocity rows: Ri^T (v_j - v_i - g T) = dv
+        A[6 * k:6 * k + 3, 3 * j:3 * j + 3] = Ri_T
+        A[6 * k:6 * k + 3, 3 * i:3 * i + 3] = -Ri_T
+        A[6 * k:6 * k + 3, 3 * C:3 * C + 3] = -Ri_T * T
+        rhs[6 * k:6 * k + 3] = dv[k]
+        # position rows: Ri^T (s(p_j - p_i) - v_i T - 0.5 g T^2) = dp
+        A[6 * k + 3:6 * k + 6, 3 * i:3 * i + 3] = -Ri_T * T
+        A[6 * k + 3:6 * k + 6, 3 * C:3 * C + 3] = -0.5 * Ri_T * T * T
+        dpw = Ri_T @ (p_wb[j] - p_wb[i])
+        if with_scale:
+            A[6 * k + 3:6 * k + 6, -1] = dpw
+            rhs[6 * k + 3:6 * k + 6] = dp[k]
+        else:
+            rhs[6 * k + 3:6 * k + 6] = dp[k] - dpw
+    x, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    g = x[3 * C:3 * C + 3]
+    scale = float(x[-1]) if with_scale else 1.0
+    if fix_magnitude and np.linalg.norm(g) > 1e-6:
+        g_dir = g / np.linalg.norm(g)
+        g_fixed = g_dir * GRAVITY
+        # second pass: substitute g, re-solve velocities (+ scale)
+        keep = list(range(3 * C)) + ([n_x - 1] if with_scale else [])
+        A2 = A[:, keep]
+        rhs2 = rhs - A[:, 3 * C:3 * C + 3] @ g_fixed
+        x2, *_ = np.linalg.lstsq(A2, rhs2, rcond=None)
+        g = g_fixed
+        scale = float(x2[-1]) if with_scale else 1.0
+        vel = x2[:3 * C].reshape(C, 3)
+    else:
+        vel = x[:3 * C].reshape(C, 3)
+    return g, vel, scale
+
+
+def gravity_align_rotation(g_w: np.ndarray) -> np.ndarray:
+    """Quaternion q (4,) [w,x,y,z] rotating the world so that the
+    estimated gravity maps to [0, 0, -9.81] (z-up convention)."""
+    g = np.asarray(g_w, np.float64)
+    n = np.linalg.norm(g)
+    if n < 1e-9:
+        return np.asarray([1.0, 0.0, 0.0, 0.0], np.float32)
+    a = g / n
+    b = np.asarray([0.0, 0.0, -1.0])
+    v = np.cross(a, b)
+    c = float(a @ b)
+    if np.linalg.norm(v) < 1e-9:
+        if c > 0:
+            return np.asarray([1.0, 0.0, 0.0, 0.0], np.float32)
+        return np.asarray([0.0, 1.0, 0.0, 0.0], np.float32)  # 180 deg
+    s = np.sqrt((1.0 + c) * 2.0)
+    q = np.asarray([s * 0.5, v[0] / s, v[1] / s, v[2] / s])
+    return (q / np.linalg.norm(q)).astype(np.float32)

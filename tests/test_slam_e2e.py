@@ -298,3 +298,29 @@ class TestVisualInertialE2E:
         assert len(slam.imu_edges) >= int(slam.arena.n_frames) - 2
         for (i, j, dq) in slam.imu_edges:
             assert i > j >= 0 and np.isfinite(dq).all()
+        # ... and a full preintegrated factor (VI-BA input)
+        assert len(slam.imu_factors) == len(slam.imu_edges)
+        for (i, j, f) in slam.imu_factors:
+            assert j > i >= 0 and float(f.dt) > 0
+
+    def test_vi_init_and_joint_ba(self):
+        """Full VI path: gravity/velocity alignment then joint VI-BA.
+
+        The line sequence has exact synthetic IMU (zero world accel,
+        constant rate), so gravity must be recovered accurately and the
+        ATE gate must hold with VI-BA active."""
+        ds = make_ds(imu=True, n_frames=40)
+        # ~0.2 s preintegration windows: gravity needs integration time
+        # to separate from vision pose noise (the 0.5*T^2 lever arm)
+        cfg = SLAMConfig(**CFG, vi_min_factors=6, kf_min_gap=2,
+                         kf_max_gap=6)
+        slam = KeyframeSLAM(ds.camera, cfg)
+        m = run_sequence(slam, ds)
+        assert slam.vi_ready
+        g = np.asarray(slam.gravity_w)
+        np.testing.assert_allclose(g, [0.0, 0.0, -9.81], atol=0.5)
+        # line motion: constant world velocity [0.08*30, 0, 0] m/s
+        for f, v in slam.kf_vel.items():
+            np.testing.assert_allclose(v, [2.4, 0.0, 0.0], atol=0.5)
+        assert np.isfinite(slam.bias_g).all()
+        assert m.ate_rmse < 0.08
