@@ -42,20 +42,26 @@ def _build_slam(dataset, s: Svar):
 
     name = s.arg("slam", "keyframe", "SLAM system (registry name)")
     kwargs = {}
-    for key in ("max_kps", "fast_threshold", "ba_window", "ba_iters",
-                "cap_frames", "cap_points", "cap_obs", "use_pallas",
-                "n_levels", "kf_max_gap", "local_map_size"):
-        if f"slam.{key}" in s:
-            kwargs[key] = s[f"slam.{key}"]
-    # -vocabulary voc.npz|ORBvoc-style .txt: enables BoW loop closure
-    # and relocalization (reference: gslam -vocabulary <file>)
-    voc_path = s.arg("vocabulary", "", "BoW vocabulary (npz / DBoW3 text)")
+    # forward EVERY -slam.<field> flag to the model config (Svar's
+    # hierarchical-key ergonomics; unknown fields fail loudly in the
+    # config dataclass rather than being dropped silently)
+    for key, val in s.subtree("slam").items():
+        kwargs[key] = val
+    # -vocabulary voc.npz | DBoW3-style .txt | flat binary (.voc/.gvoc):
+    # enables BoW loop closure and relocalization (reference:
+    # gslam -vocabulary <file>)
+    voc_path = s.arg("vocabulary", "",
+                     "BoW vocabulary (npz / DBoW3 text / binary)")
     if voc_path:
-        from gslam_tpu.ops.vocab import load_dbow3_text, load_vocabulary
+        from gslam_tpu.ops.vocab import (load_binary, load_dbow3_text,
+                                         load_vocabulary)
 
-        kwargs["vocabulary"] = (load_dbow3_text(voc_path)
-                                if voc_path.endswith(".txt")
-                                else load_vocabulary(voc_path))
+        if voc_path.endswith(".txt"):
+            kwargs["vocabulary"] = load_dbow3_text(voc_path)
+        elif voc_path.endswith(".npz"):
+            kwargs["vocabulary"] = load_vocabulary(voc_path)
+        else:
+            kwargs["vocabulary"] = load_binary(voc_path)
     return SLAMS.create(name, dataset.camera, **kwargs)
 
 

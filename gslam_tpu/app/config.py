@@ -95,6 +95,21 @@ class Svar:
                 return val[""]
             return val
 
+    def subtree(self, key: str) -> Dict[str, Any]:
+        """Children of a dotted key as a flat dict (scalar slot ""
+        excluded): ``-slam keyframe -slam.max_kps 128`` ->
+        ``subtree("slam") == {"max_kps": 128}``."""
+        with self._lock:
+            try:
+                node, leaf = self._walk(key, create=False)
+            except KeyError:
+                return {}
+            val = node.get(leaf)
+            if not isinstance(val, dict):
+                return {}
+            return {k: (v[""] if isinstance(v, dict) and "" in v else v)
+                    for k, v in val.items() if k != ""}
+
     def __contains__(self, key: str) -> bool:
         sentinel = object()
         return self.get(key, sentinel) is not sentinel

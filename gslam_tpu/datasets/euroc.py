@@ -36,6 +36,18 @@ def _yaml_list(text: str, key: str) -> Optional[List[float]]:
     return [float(x) for x in m.group(1).split(",")]
 
 
+def _yaml_tbs(text: str) -> Optional[np.ndarray]:
+    """Parse the 4x4 row-major ``T_BS`` (sensor -> body) matrix from a
+    EuRoC sensor.yaml ``data: [...]`` block."""
+    m = re.search(r"data:\s*\[([^\]]*)\]", text, re.S)
+    if not m:
+        return None
+    vals = [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+    if len(vals) != 16:
+        return None
+    return np.asarray(vals, np.float64).reshape(4, 4)
+
+
 def _load_cam(cam_dir: str) -> Tuple[Optional[Camera], List[Tuple[int, str]]]:
     data_csv = os.path.join(cam_dir, "data.csv")
     if not os.path.isfile(data_csv):
@@ -74,6 +86,17 @@ class EuRoCDataset(Dataset):
         if self.cam is None:
             self.cam = Camera.from_fov(752, 480, 80.0)
         self.root = root
+        # camera-IMU extrinsics: rotate body-frame IMU samples into the
+        # cam0 frame (the SLAM models assume body == camera).  The
+        # lever-arm acceleration term (omega x (omega x r), |r| ~ 5 cm
+        # on EuRoC) is second-order and absorbed by the accel noise
+        # model / bias state of the VI optimizer.
+        self.R_cb = np.eye(3)
+        ypath0 = os.path.join(cam0, "sensor.yaml")
+        if os.path.isfile(ypath0):
+            T_BS = _yaml_tbs(open(ypath0).read())
+            if T_BS is not None:
+                self.R_cb = T_BS[:3, :3].T   # R_SB: body -> camera
         self.cam1, self.entries1 = _load_cam(os.path.join(root, "cam1"))
         self.t1 = np.asarray([t for t, _ in self.entries1], np.int64)
 
@@ -139,7 +162,10 @@ class EuRoCDataset(Dataset):
         if len(self.imu):
             t_prev = self.entries[idx - 1][0] * 1e-9 if idx > 0 else t - 0.05
             sel = (self.imu[:, 0] > t_prev) & (self.imu[:, 0] <= t)
-            imu = self.imu[sel]
+            imu = self.imu[sel].copy()
+            # body -> camera frame (rotation part of T_BS^-1)
+            imu[:, 1:4] = imu[:, 1:4] @ self.R_cb.T
+            imu[:, 4:7] = imu[:, 4:7] @ self.R_cb.T
         return FrameData(id=idx, timestamp=t, image=img, camera=self.cam,
                          image_right=right, camera_right=self.cam1,
                          stereo_baseline=0.11,  # nominal EuRoC baseline

@@ -648,12 +648,14 @@ class KeyframeSLAM:
             gravity_w=jnp.asarray(self.gravity_w),
             bias_g=jnp.asarray(self.bias_g),
             bias_a=jnp.asarray(self.bias_a))
-        out, costs = vi_bundle_adjust(vip, iters=c.vi_ba_iters)
+        out, costs = vi_bundle_adjust(vip, iters=c.vi_ba_iters,
+                                      refine_gravity=True)
         out_vel = np.asarray(out.vel)
         for f, k in loc.items():
             self.kf_vel[f] = out_vel[k]
         self.bias_g = np.asarray(out.bias_g)
         self.bias_a = np.asarray(out.bias_a)
+        self.gravity_w = np.asarray(out.gravity_w)
         return out.vision
 
     # -- evaluation helpers -------------------------------------------------

@@ -1,11 +1,21 @@
 """Fused FAST-9/16 corner score + 3x3 NMS in one Pallas pass.
 
 The jnp reference (gslam_tpu.ops.frontend.fast_score + nms) materializes
-16 rolled copies and ~50 (16, H, W) intermediates through HBM; this
-kernel keeps the whole image and every intermediate in VMEM and writes
-only the final NMS'd score map.  VPU elementwise throughout; images up
-to ~1.5 MP fit the single-block VMEM budget (the SLAM frontend operates
-on <= 1280x960 pyramid levels).
+16 rolled copies and ~50 (16, H, W) intermediates through HBM.  This
+kernel fuses the whole detector, gridded over ROW STRIPES so the live
+set stays well under the ~16 MB scoped-VMEM budget at any image size
+(a whole-image formulation OOMs the compiler's VMEM stack on 480x640):
+
+* the image is padded by a 4-row halo top/bottom and tiled into
+  (STRIPE + 8, W) extended stripes — FAST needs a 3-pixel circle,
+  NMS one more row, so 4 halo rows make every interior output row
+  self-contained;
+* circle samples come from static VMEM rolls of the stripe; vertical
+  wrap-around touches only halo rows (dropped), horizontal wrap only
+  the 3-column border the FAST border mask zeroes anyway;
+* the contiguous-arc test is unrolled over the 16 start positions
+  (VPU elementwise); 3x3 NMS via 8 neighbor rolls; one (STRIPE, W)
+  store per stripe.
 """
 
 from __future__ import annotations
@@ -19,6 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gslam_tpu.ops.frontend import FAST_OFFSETS
 
+STRIPE = 64      # output rows per grid step
+HALO = 4         # circle radius 3 + 1 NMS row
+
 
 def _roll(x, shift: int, axis: int):
     """pltpu.roll requires non-negative shifts; normalize."""
@@ -26,27 +39,30 @@ def _roll(x, shift: int, axis: int):
     return pltpu.roll(x, shift % n, axis)
 
 
-def _fast_nms_kernel(img_ref, out_ref, *, threshold: float, arc: int):
-    img = img_ref[:]
-    H, W = img.shape
+def _fast_nms_kernel(img_ref, out_ref, *, threshold: float, arc: int,
+                     H: int, W: int):
+    i = pl.program_id(0)
+    # overlapping halo window sliced from the (unblocked) VMEM image —
+    # BlockSpec blocks cannot overlap, so the stripe is cut in-kernel
+    ext = img_ref[pl.ds(i * STRIPE, STRIPE + 2 * HALO), :]
 
     # circle samples via static rolls (VMEM shuffles)
     diffs = []
     for (dx, dy) in FAST_OFFSETS:
-        shifted = _roll(_roll(img, -int(dy), 0), -int(dx), 1)
-        diffs.append(shifted - img)
+        shifted = _roll(_roll(ext, -int(dy), 0), -int(dx), 1)
+        diffs.append(shifted - ext)
 
     # contiguous-arc test, unrolled over the 16 start positions
-    ext = diffs + diffs[:arc]
-    score_b = jnp.zeros_like(img)
-    score_d = jnp.zeros_like(img)
+    ext_d = diffs + diffs[:arc]
+    score_b = jnp.zeros_like(ext)
+    score_d = jnp.zeros_like(ext)
     for s in range(16):
         okb = None
         okd = None
-        sb = jnp.zeros_like(img)
-        sd = jnp.zeros_like(img)
+        sb = jnp.zeros_like(ext)
+        sd = jnp.zeros_like(ext)
         for k in range(arc):
-            d = ext[s + k]
+            d = ext_d[s + k]
             bb = d > threshold
             dd = d < -threshold
             okb = bb if okb is None else (okb & bb)
@@ -57,10 +73,12 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold: float, arc: int):
         score_d = jnp.maximum(score_d, jnp.where(okd, sd, 0.0))
     score = jnp.maximum(score_b, score_d)
 
-    # border (circle radius 3)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    border = (ys >= 3) & (ys < H - 3) & (xs >= 3) & (xs < W - 3)
+    # border mask in GLOBAL image coordinates (circle radius 3);
+    # stripe row r maps to image row i*STRIPE + r - HALO
+    rows = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0) \
+        + i * STRIPE - HALO
+    xs = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    border = ((rows >= 3) & (rows < H - 3) & (xs >= 3) & (xs < W - 3))
     score = jnp.where(border, score, 0.0)
 
     # 3x3 NMS via 8 neighbor rolls
@@ -70,7 +88,8 @@ def _fast_nms_kernel(img_ref, out_ref, *, threshold: float, arc: int):
             if dx == 0 and dy == 0:
                 continue
             mx = jnp.maximum(mx, _roll(_roll(score, -dy, 0), -dx, 1))
-    out_ref[:] = jnp.where((score >= mx) & (score > 0), score, 0.0)
+    nms = jnp.where((score >= mx) & (score > 0), score, 0.0)
+    out_ref[:] = nms[HALO:HALO + STRIPE]
 
 
 @partial(jax.jit, static_argnames=("threshold", "arc", "interpret"))
@@ -78,10 +97,18 @@ def fast_nms_pallas(img: jnp.ndarray, threshold: float = 0.06,
                     arc: int = 9, interpret: bool = False) -> jnp.ndarray:
     """NMS'd FAST score map; gold-equal to nms(fast_score(img))."""
     H, W = img.shape
-    return pl.pallas_call(
-        partial(_fast_nms_kernel, threshold=threshold, arc=arc),
-        out_shape=jax.ShapeDtypeStruct((H, W), img.dtype),
+    n = -(-H // STRIPE)
+    # pad to n*STRIPE rows + HALO on each side (zeros are inert: the
+    # global border mask kills everything within 3 px of the true edge)
+    imgp = jnp.zeros((n * STRIPE + 2 * HALO, W), img.dtype)
+    imgp = jax.lax.dynamic_update_slice(imgp, img, (HALO, 0))
+    out = pl.pallas_call(
+        partial(_fast_nms_kernel, threshold=threshold, arc=arc, H=H, W=W),
+        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((n * STRIPE, W), img.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((STRIPE, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(img)
+    )(imgp)
+    return out[:H]

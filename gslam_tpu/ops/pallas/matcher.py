@@ -24,24 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 from gslam_tpu.ops.matching import BITS, Matches
 
 
-def _unpack_pm1(desc_u32: jnp.ndarray) -> jnp.ndarray:
-    """(K, 8) uint32 -> (K, 256) +/-1 bf16 (in-kernel).
-
-    Casts go u32 -> i32 -> f32 -> bf16: Mosaic has no direct
-    uint32->bfloat16 lowering (bits are 0/1, so every step is exact).
-    """
-    K = desc_u32.shape[0]
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    bits = ((desc_u32[:, :, None] >> shifts) & jnp.uint32(1)) \
-        .astype(jnp.int32)
-    pm1 = bits.astype(jnp.float32) * 2.0 - 1.0
-    return pm1.astype(jnp.bfloat16).reshape(K, BITS)
-
-
 def _matcher_kernel(a_ref, av_ref, b_ref, bv_ref,
                     best_ref, second_ref, idx_ref, back_ref):
-    A = _unpack_pm1(a_ref[:])
-    B = _unpack_pm1(b_ref[:])
+    # descriptors arrive pre-unpacked as (K, 256) +/-1 bf16: the
+    # (K, 8, 32) -> (K, 256) unpack reshape has no Mosaic lowering
+    # ("unsupported shape cast"), and unpacked descriptors are tiny
+    # (<= 1 MB) so staging them through HBM costs nothing.  The fusion
+    # win of this kernel is keeping the (N, M) distance matrix out of
+    # HBM and fusing the top-2 / mutual-check reductions.
+    A = a_ref[:]
+    B = b_ref[:]
     N = A.shape[0]
     M = B.shape[0]
     dot = jnp.dot(A, B.T, preferred_element_type=jnp.float32)
@@ -72,8 +64,12 @@ def _matcher_kernel(a_ref, av_ref, b_ref, bv_ref,
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _matcher_call(desc_a, valid_a, desc_b, valid_b, interpret=False):
+    from gslam_tpu.ops.matching import unpack_descriptors
+
     N = desc_a.shape[0]
     M = desc_b.shape[0]
+    A = unpack_descriptors(desc_a)    # (N, 256) +/-1 bf16, XLA-side
+    B = unpack_descriptors(desc_b)
     return pl.pallas_call(
         _matcher_kernel,
         out_shape=(
@@ -85,8 +81,7 @@ def _matcher_call(desc_a, valid_a, desc_b, valid_b, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         interpret=interpret,
-    )(desc_a, valid_a.astype(jnp.int32), desc_b,
-      valid_b.astype(jnp.int32))
+    )(A, valid_a.astype(jnp.int32), B, valid_b.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("max_dist", "ratio", "mutual",

@@ -28,8 +28,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslam_tpu.ops.pallas.matcher import _unpack_pm1
-
 _TILE_N = 128
 # node table must fit VMEM unpacked: (n_nodes, 256) bf16 + the (TILE_N,
 # n_nodes) f32 distance tile.  8k nodes ~= 4.2 MB + 4 MB.
@@ -42,8 +40,10 @@ def _level_offset(k: int, l: int) -> int:
 
 def _vocab_kernel(desc_ref, valid_ref, nodes_ref, words_ref, *, k, L,
                   bits):
-    A = _unpack_pm1(desc_ref[:])                   # (N, bits)
-    Nd = _unpack_pm1(nodes_ref[:])                 # (n_nodes, bits)
+    # pre-unpacked +/-1 bf16 inputs (the in-kernel unpack reshape has
+    # no Mosaic lowering; see ops/pallas/matcher.py)
+    A = desc_ref[:]                                # (N, bits)
+    Nd = nodes_ref[:]                              # (n_nodes, bits)
     N = A.shape[0]
     dot = jnp.dot(A, Nd.T, preferred_element_type=jnp.float32)
     D = (jnp.float32(bits) - dot) * 0.5            # (N, n_nodes)
@@ -72,26 +72,29 @@ def transform_words_pallas(node_desc: jnp.ndarray, desc: jnp.ndarray,
     if n_nodes > MAX_NODES:
         raise ValueError(f"node table too large for VMEM kernel "
                          f"({n_nodes} > {MAX_NODES}); use the jnp path")
+    from gslam_tpu.ops.matching import unpack_descriptors
+
     N = desc.shape[0]
     bits = desc.shape[1] * 32
     n_pad = (-N) % _TILE_N
-    desc_p = jnp.pad(desc, ((0, n_pad), (0, 0)))
+    A = unpack_descriptors(jnp.pad(desc, ((0, n_pad), (0, 0))))
+    Nd = unpack_descriptors(node_desc)
     valid_p = jnp.pad(valid.astype(jnp.int32), (0, n_pad))
-    grid = (desc_p.shape[0] // _TILE_N,)
+    grid = (A.shape[0] // _TILE_N,)
     words = pl.pallas_call(
         partial(_vocab_kernel, k=k, L=L, bits=bits),
-        out_shape=jax.ShapeDtypeStruct((desc_p.shape[0],), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((A.shape[0],), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE_N, desc.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((_TILE_N, bits), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE_N,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_nodes, node_desc.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((n_nodes, bits), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TILE_N,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(desc_p, valid_p, node_desc)
+    )(A, valid_p, Nd)
     return words[:N]

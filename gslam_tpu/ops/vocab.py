@@ -234,6 +234,48 @@ def load_vocabulary(path: str) -> Vocabulary:
                       k=int(z["k"]), L=int(z["L"]))
 
 
+_VOC_MAGIC = b"GSLAMVOC"
+_VOC_VERSION = 1
+
+
+def save_binary(voc: Vocabulary, path: str) -> None:
+    """Flat binary vocabulary (the reference Vocabulary's headline
+    feature is fast binary save/load of the whole tree as raw bytes —
+    ``GSLAM/core/Vocabulary.h``).  Layout: 8-byte magic, u32 version,
+    u32 k, u32 L, u32 descriptor-bytes-per-node, then the node
+    descriptor table as raw little-endian uint32 words, then the leaf
+    weights as raw float32.  Load is a couple of ``np.frombuffer``
+    views — no parsing, O(bytes) like the reference."""
+    nd = np.ascontiguousarray(np.asarray(voc.node_desc, np.uint32))
+    ww = np.ascontiguousarray(np.asarray(voc.word_weight, np.float32))
+    with open(path, "wb") as f:
+        f.write(_VOC_MAGIC)
+        np.asarray([_VOC_VERSION, voc.k, voc.L, nd.shape[1] * 4],
+                   np.uint32).tofile(f)
+        nd.tofile(f)
+        ww.tofile(f)
+
+
+def load_binary(path: str) -> Vocabulary:
+    """Load a :func:`save_binary` vocabulary (zero-parse, see above)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != _VOC_MAGIC:
+        raise ValueError(f"not a gslam_tpu binary vocabulary: {path}")
+    ver, k, L, dbytes = np.frombuffer(buf, np.uint32, 4, 8)
+    if ver != _VOC_VERSION:
+        raise ValueError(f"unsupported vocabulary version {ver}")
+    k, L = int(k), int(L)
+    n_nodes = _level_offset(k, L + 1)
+    words = int(dbytes) // 4
+    off = 8 + 16
+    nd = np.frombuffer(buf, np.uint32, n_nodes * words, off) \
+        .reshape(n_nodes, words)
+    ww = np.frombuffer(buf, np.float32, k ** L, off + nd.nbytes)
+    return Vocabulary(node_desc=jnp.asarray(nd),
+                      word_weight=jnp.asarray(ww), k=k, L=L)
+
+
 def save_dbow3_text(voc: Vocabulary, path: str) -> None:
     """DBoW3 text layout: first line 'k L scoring weighting', then one
     line per non-root node: 'parent_id is_leaf d0 d1 ... d31 weight'

@@ -113,10 +113,12 @@ def _factor_info(cov: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dt > 0, W, jnp.zeros((9, 9)))
 
 
-@partial(jax.jit, static_argnames=("iters", "huber_delta", "warm_start"))
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "warm_start",
+                                   "refine_gravity"))
 def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
                      lm_lambda0: float = 1e-4, huber_delta: float = 0.01,
-                     bias_prior: float = 1e4, warm_start: int = 2
+                     bias_prior: float = 1e4, warm_start: int = 2,
+                     refine_gravity: bool = False
                      ) -> Tuple[ViProblem, jnp.ndarray]:
     """Joint visual-inertial LM.  Returns (updated problem, costs).
 
@@ -127,26 +129,52 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
     residuals linearly, so this lands them at their conditional optimum
     before the joint steps — without it a poor velocity guess routinely
     drags the joint problem into a bad basin).
+
+    ``refine_gravity`` adds a 2-dof tangent perturbation of the gravity
+    DIRECTION to the state (magnitude stays 9.81-fixed): the linear
+    initialization leaves a residual direction error that otherwise
+    biases every position factor.
     """
     vis = problem.vision
     C = vis.cam_pose.shape[0]
     P = vis.point_xyz.shape[0]
     K = problem.pair_i.shape[0]
-    N = 9 * C + 6
+    NG = 2 if refine_gravity else 0
+    N = 9 * C + 6 + NG
 
     cam_free = ~vis.cam_fixed
     pt_free = ~vis.point_fixed
     g_w = problem.gravity_w
+    # orthonormal basis of the plane normal to g (for the 2-dof
+    # direction update); any fixed continuous construction works
+    g_dir = g_w / jnp.maximum(jnp.linalg.norm(g_w), 1e-9)
+    ref = jnp.where(jnp.abs(g_dir[0]) < 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0]),
+                    jnp.asarray([0.0, 1.0, 0.0]))
+    b1 = jnp.cross(g_dir, ref)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-9)
+    b2 = jnp.cross(g_dir, b1)
+    g_basis = jnp.stack([b1, b2], axis=1)          # (3, 2)
+    g_mag = jnp.linalg.norm(g_w)
+
+    def gravity_of(dg):
+        """Perturbed gravity: rotate the direction, keep magnitude."""
+        if NG == 0:
+            return g_w
+        d = g_dir + g_basis @ dg
+        return g_mag * d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
 
     infos = jax.vmap(_factor_info)(problem.imu.cov, problem.imu.dt)
     infos = infos * problem.pair_valid[:, None, None]
 
-    # local-parameter index map per factor: [xi_i, xi_j, v_i, v_j, bg, ba]
+    # local-parameter index map per factor:
+    # [xi_i, xi_j, v_i, v_j, bg, ba (, dgravity)]
     def factor_idx(i, j):
         return jnp.concatenate([
             6 * i + jnp.arange(6), 6 * j + jnp.arange(6),
             6 * C + 3 * i + jnp.arange(3), 6 * C + 3 * j + jnp.arange(3),
-            9 * C + jnp.arange(3), 9 * C + 3 + jnp.arange(3)])
+            9 * C + jnp.arange(3), 9 * C + 3 + jnp.arange(3),
+            9 * C + 6 + jnp.arange(NG)])
 
     # invalid pairs are clipped to index 0; their info matrices are zero
     # so the scattered H/b contributions vanish
@@ -154,8 +182,8 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
     pj = problem.pair_j.clip(0)
     idx = jax.vmap(factor_idx)(pi, pj)  # (K, 24)
 
-    def imu_terms(cam_pose, vel, bg, ba):
-        """Residuals r (K,9), Jacobians J (K,9,24) at the current state."""
+    def imu_terms(cam_pose, vel, bg, ba, dg):
+        """Residuals r (K,9) + Jacobians J (K,9,24+NG) at the state."""
         def one(i, j, f):
             p_i0 = cam_pose[i]
             p_j0 = cam_pose[j]
@@ -165,12 +193,13 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
             def res(z):
                 xi_i, xi_j, dvi, dvj, dbg, dba = (
                     z[:6], z[6:12], z[12:15], z[15:18], z[18:21], z[21:24])
+                g = gravity_of(dg + z[24:24 + NG]) if NG else g_w
                 return _imu_residual(
                     se3_mul(se3_exp(xi_i), p_i0),
                     se3_mul(se3_exp(xi_j), p_j0),
-                    v_i0 + dvi, v_j0 + dvj, bg + dbg, ba + dba, f, g_w)
+                    v_i0 + dvi, v_j0 + dvj, bg + dbg, ba + dba, f, g)
 
-            z0 = jnp.zeros(24)
+            z0 = jnp.zeros(24 + NG)
             return res(z0), jax.jacfwd(res)(z0)
 
         return jax.vmap(one)(pi, pj, problem.imu)
@@ -221,16 +250,16 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         b_s = bc.reshape(-1) - Yf @ bp.reshape(-1)
         return S, b_s, Wf, Hpp_inv, bp
 
-    def total_cost(cam_pose, point_xyz, vel, bg, ba):
+    def total_cost(cam_pose, point_xyz, vel, bg, ba, dg):
         vc = ba_cost(vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
                      huber_delta)
-        r, _ = imu_terms(cam_pose, vel, bg, ba)
+        r, _ = imu_terms(cam_pose, vel, bg, ba, dg)
         return vc + imu_cost(r)
 
     def lm_step(state, poses_free):
-        cam_pose, point_xyz, vel, bg, ba, lam, cost = state
+        cam_pose, point_xyz, vel, bg, ba, dg, lam, cost = state
         S, b_s, Wf, Hpp_inv, bp = vision_normal_eq(cam_pose, point_xyz, lam)
-        r, J = imu_terms(cam_pose, vel, bg, ba)
+        r, J = imu_terms(cam_pose, vel, bg, ba, dg)
 
         # assemble the full system over [xi | vel | bg ba]
         H = jnp.zeros((N, N))
@@ -243,7 +272,7 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         H = H.at[idx[:, :, None], idx[:, None, :]].add(Hk)
         b = b.at[idx].add(bk)
         # bias random-walk prior keeps biases observable when K is small
-        bias_sl = jnp.arange(9 * C, N)
+        bias_sl = jnp.arange(9 * C, 9 * C + 6)
         H = H.at[bias_sl, bias_sl].add(bias_prior)
         b = b.at[bias_sl].add(bias_prior * jnp.concatenate([bg, ba]))
         # fixed cameras pin only the POSE rows (pose gauge); velocities
@@ -252,7 +281,7 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         # warm-start iterations the pose block is frozen entirely.
         free = jnp.concatenate([
             jnp.repeat(cam_free, 6) & poses_free,
-            jnp.ones(3 * C, bool), jnp.ones(6, bool)])
+            jnp.ones(3 * C, bool), jnp.ones(6 + NG, bool)])
         H = jnp.where(free[:, None] & free[None, :], H, 0.0)
         H = H.at[jnp.arange(N), jnp.arange(N)].add(
             jnp.where(free, lam, 1.0))
@@ -263,7 +292,8 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         dxc = dx[:6 * C].reshape(C, 6) * cam_free[:, None]
         dvel = dx[6 * C:9 * C].reshape(C, 3)
         dbg = dx[9 * C:9 * C + 3]
-        dba = dx[9 * C + 3:]
+        dba = dx[9 * C + 3:9 * C + 6]
+        dgrav = dx[9 * C + 6:]
         # landmark back-substitution (vision pieces only); frozen along
         # with poses during warm-start
         Wt_dxc = (Wf.T @ dx[:6 * C]).reshape(P, 3)
@@ -275,7 +305,9 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         new_vel = vel + dvel
         new_bg = bg + dbg
         new_ba = ba + dba
-        new_cost = total_cost(new_pose, new_xyz, new_vel, new_bg, new_ba)
+        new_dg = dg + dgrav
+        new_cost = total_cost(new_pose, new_xyz, new_vel, new_bg, new_ba,
+                              new_dg)
         accept = ((new_cost < cost) & jnp.isfinite(new_cost)
                   & jnp.isfinite(new_pose).all()
                   & jnp.isfinite(new_xyz).all()
@@ -283,20 +315,23 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         sel = lambda a, o: jnp.where(accept, a, o)  # noqa: E731
         state = (sel(new_pose, cam_pose), sel(new_xyz, point_xyz),
                  sel(new_vel, vel), sel(new_bg, bg), sel(new_ba, ba),
+                 sel(new_dg, dg),
                  jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e3),
                  sel(new_cost, cost))
         return state, state[-1]
 
+    dg0 = jnp.zeros(NG)
     cost0 = total_cost(vis.cam_pose, vis.point_xyz, problem.vel,
-                       problem.bias_g, problem.bias_a)
+                       problem.bias_g, problem.bias_a, dg0)
     init = (vis.cam_pose, vis.point_xyz, problem.vel, problem.bias_g,
-            problem.bias_a, jnp.asarray(lm_lambda0, jnp.float32), cost0)
+            problem.bias_a, dg0, jnp.asarray(lm_lambda0, jnp.float32),
+            cost0)
     sched = jnp.arange(iters) >= min(warm_start, iters)
-    (cam_pose, point_xyz, vel, bg, ba, _, _), costs = jax.lax.scan(
+    (cam_pose, point_xyz, vel, bg, ba, dg, _, _), costs = jax.lax.scan(
         lm_step, init, sched)
     out = problem._replace(
         vision=vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
-        vel=vel, bias_g=bg, bias_a=ba)
+        vel=vel, bias_g=bg, bias_a=ba, gravity_w=gravity_of(dg))
     return out, jnp.concatenate([cost0[None], costs])
 
 

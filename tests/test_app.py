@@ -42,6 +42,15 @@ class TestSvar:
         assert s.arg("Dataset.Skip", 0) == 2
         assert s.get("Dataset") == {"Skip": 2}
 
+    def test_subtree(self):
+        s = Svar()
+        s.parse_main(["-slam", "keyframe", "-slam.max_kps", "128",
+                      "-slam.vi_min_factors", "4"])
+        assert s.arg("slam", "") == "keyframe"
+        assert s.subtree("slam") == {"max_kps": 128, "vi_min_factors": 4}
+        assert s.subtree("nope") == {}
+        assert s.subtree("slam.max_kps") == {}
+
     def test_arg_coerces_string(self):
         s = Svar()
         s.set("n", "7")

@@ -145,7 +145,13 @@ class TestEuRoC:
         (root / "cam0" / "sensor.yaml").write_text(
             "resolution: [40, 30]\n"
             "intrinsics: [35.0, 35.0, 20.0, 15.0]\n"
-            "distortion_coefficients: [-0.01, 0.005, 0.0001, -0.0002]\n")
+            "distortion_coefficients: [-0.01, 0.005, 0.0001, -0.0002]\n"
+            # T_BS with R_BS = Rz(90): sensor x axis == body y axis
+            "T_BS:\n"
+            "  data: [0.0, -1.0, 0.0, 0.05,\n"
+            "         1.0,  0.0, 0.0, 0.02,\n"
+            "         0.0,  0.0, 1.0, 0.01,\n"
+            "         0.0,  0.0, 0.0, 1.0]\n")
         imu = ["#ts,wx,wy,wz,ax,ay,az"]
         for j in range(20):
             ts = 1403636579763555584 - 10_000_000 + j * 5_000_000
@@ -167,8 +173,12 @@ class TestEuRoC:
         assert fr.camera.model == "opencv" and fr.camera.fx == 35.0
         assert fr.gt_pose is not None
         assert fr.imu is not None and len(fr.imu) > 0
-        # imu mapped to [t, ax ay az, wx wy wz]
-        np.testing.assert_allclose(fr.imu[0][1:4], [0.1, 0.2, 9.8])
+        # imu mapped to [t, ax ay az, wx wy wz], rotated body -> cam0
+        # by R_BS^T (fixture: Rz(90), so [ax, ay] -> [ay, -ax])
+        np.testing.assert_allclose(fr.imu[0][1:4], [0.2, -0.1, 9.8],
+                                   atol=1e-12)
+        np.testing.assert_allclose(fr.imu[0][4:7], [0.02, -0.01, 0.03],
+                                   atol=1e-12)
         fr2 = ds.grab_frame()
         np.testing.assert_allclose(fr2.gt_pose[:3], [0.2, 0, 1.5],
                                    atol=1e-6)

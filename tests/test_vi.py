@@ -306,6 +306,24 @@ class TestViBundleAdjust:
                                axis=-1).mean()
         assert verr1 < 0.3 * verr0
 
+    def test_gravity_direction_refinement(self):
+        """A ~5 deg gravity-direction error in the problem must be
+        recovered by refine_gravity=True (and hurt when off)."""
+        from gslam_tpu.opt.vi import vi_bundle_adjust
+
+        prob, poses_gt, vels_gt = self._make_problem(pose_noise=0.01,
+                                                     vel_noise=0.1)
+        ang = np.deg2rad(5.0)
+        g_bad = np.array([np.sin(ang), 0.0, -np.cos(ang)]) * 9.81
+        prob = prob._replace(gravity_w=jnp.asarray(g_bad, jnp.float32))
+        out, costs = vi_bundle_adjust(prob, iters=12, refine_gravity=True)
+        g_ref = np.asarray(out.gravity_w)
+        assert abs(np.linalg.norm(g_ref) - 9.81) < 1e-3
+        cos_after = float(g_ref @ G_W) / (9.81 * 9.81)
+        cos_before = float(g_bad @ G_W) / (9.81 * 9.81)
+        assert cos_after > cos_before  # direction improved
+        assert np.degrees(np.arccos(min(cos_after, 1.0))) < 2.0
+
     def test_invalid_pairs_are_inert(self):
         """Padding factors with pair_valid=False must not change the
         solution (vs a problem without them)."""

@@ -94,6 +94,31 @@ class TestPersistence:
         b2, w2 = transform(v2, jnp.asarray(desc[:20]))
         np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
 
+    def test_binary_roundtrip(self, voc, tmp_path, corpus):
+        from gslam_tpu.ops.vocab import load_binary, save_binary
+
+        p = str(tmp_path / "voc.gvoc")
+        save_binary(voc, p)
+        v2 = load_binary(p)
+        assert v2.k == voc.k and v2.L == voc.L
+        np.testing.assert_array_equal(np.asarray(v2.node_desc),
+                                      np.asarray(voc.node_desc))
+        np.testing.assert_array_equal(np.asarray(v2.word_weight),
+                                      np.asarray(voc.word_weight))
+        desc, _ = corpus
+        _, w1 = transform(voc, jnp.asarray(desc[:20]))
+        _, w2 = transform(v2, jnp.asarray(desc[:20]))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_binary_rejects_garbage(self, tmp_path):
+        from gslam_tpu.ops.vocab import load_binary
+
+        p = str(tmp_path / "bad.gvoc")
+        with open(p, "wb") as f:
+            f.write(b"NOTAVOCAB123")
+        with pytest.raises(ValueError):
+            load_binary(p)
+
     def test_dbow3_text_roundtrip(self, voc, tmp_path, corpus):
         p = str(tmp_path / "voc.txt")
         save_dbow3_text(voc, p)
