@@ -11,7 +11,8 @@ import json
 from typing import Any, Dict, Optional
 
 from gslam_tpu.eval.trajectory import TrajectoryMetrics
-from gslam_tpu.utils.metrics import device_memory_stats, host_rss_bytes
+from gslam_tpu.utils.metrics import (cpu_percent, device_memory_stats,
+                                     host_rss_bytes)
 from gslam_tpu.utils.timer import Timer, timer as global_timer
 
 
@@ -30,6 +31,7 @@ class EvalReport:
             "sequence": self.name,
             "host_rss_mb": host_rss_bytes() / 1e6,
             "device_hbm_mb": mem.get("bytes_in_use", 0) / 1e6,
+            "cpu_percent": cpu_percent(),
             **self.extra,
         }
         if self.traj is not None:
@@ -53,7 +55,8 @@ class EvalReport:
                 f"RPE RMSE: {d['rpe_rmse']:.4f} m   "
                 f"matched: {d['n_matched']}   scale: {d['scale']:.4f}")
         lines.append(f"host RSS: {d['host_rss_mb']:.1f} MB   "
-                     f"device HBM: {d['device_hbm_mb']:.1f} MB")
+                     f"device HBM: {d['device_hbm_mb']:.1f} MB   "
+                     f"CPU: {d['cpu_percent']:.0f}%")
         for k, v in self.extra.items():
             lines.append(f"{k}: {v}")
         lines.append(self.timer.table())

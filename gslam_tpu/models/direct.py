@@ -20,6 +20,12 @@ Gauss-Newton where every stage is a dense batched op:
 Depth comes from the frame (RGB-D / synthetic / stereo-derived), i.e.
 this is a DVO-style direct odometry; monocular depth bootstrap is the
 feature pipeline's job (models/keyframe_slam).
+
+RGB-D dense mode (``use_depth_residual``): adds the geometric residual
+``z_warp - D_cur(u, v)`` with analytic Jacobian — the photometric +
+geometric DVO/KinectFusion-family formulation — so tracking stays
+constrained through textureless regions where intensity gradients
+vanish.
 """
 
 from __future__ import annotations
@@ -55,6 +61,11 @@ class DirectConfig:
     kf_overlap: float = 0.6    # new keyframe below this valid fraction
     kf_max_gap: int = 8
     min_valid_frac: float = 0.25  # below: tracking lost, coast
+    # RGB-D dense mode: add the geometric residual z_warp - D_cur(u,v)
+    # (DVO-style photometric + geometric) when frames carry depth.
+    use_depth_residual: bool = True
+    depth_weight: float = 10.0   # lambda: (sigma_I / sigma_D)^2
+    huber_depth: float = 0.10    # meters
 
 
 def _gradients(img: jnp.ndarray):
@@ -74,11 +85,16 @@ def _level_intrinsics(cam: Camera, shape, base_shape):
 
 
 @partial(jax.jit, static_argnames=("iters", "fx", "fy", "cx", "cy",
-                                   "huber"))
+                                   "huber", "use_depth", "huber_d"))
 def _align_level(img, gx, gy, X, I_ref, valid, T_init, iters,
-                 fx, fy, cx, cy, huber):
-    """GN photometric alignment of point slab X (kf-cam coords) to one
-    pyramid level.  Returns (T_ck, valid_frac, mean_abs_residual)."""
+                 fx, fy, cx, cy, huber,
+                 depth=None, dgx=None, dgy=None, depth_weight=0.0,
+                 huber_d: float = 0.1, use_depth: bool = False):
+    """GN alignment of point slab X (kf-cam coords) to one pyramid
+    level: photometric residual I_cur(warp) - I_ref, plus (RGB-D dense
+    mode) the geometric residual z_warp - D_cur(warp) with analytic
+    Jacobian dz/dxi - grad(D) . d(u,v)/dxi.  Returns
+    (T_ck, valid_frac, mean_abs_photo_residual)."""
     H, W = img.shape
 
     def residual_system(T):
@@ -102,18 +118,44 @@ def _align_level(img, gx, gy, X, I_ref, valid, T_init, iters,
                              x * y * iz2, x * iz], -1)
         J = gu[:, None] * Ju + gv[:, None] * Jv          # (K, 6)
         w = huber_weight(jnp.abs(r), huber) * inb
-        return r, J, w, inb
+        out = [(r, J, w)]
+        if use_depth:
+            # nearest sampling: bilinear across a depth discontinuity
+            # invents phantom surfaces; gate out discontinuities and
+            # gross disagreements entirely (standard DVO practice —
+            # they also dominate with sparse/structured-light depth)
+            ui = jnp.round(u).astype(jnp.int32).clip(0, W - 1)
+            vi = jnp.round(v).astype(jnp.int32).clip(0, H - 1)
+            Dc = depth[vi, ui]
+            du = dgx[vi, ui]
+            dv_ = dgy[vi, ui]
+            r_d = z - Dc
+            d_ok = (inb & (Dc > 1e-3) & jnp.isfinite(Dc)
+                    & (du * du + dv_ * dv_ < 0.25)
+                    & (jnp.abs(r_d) < 0.5))
+            # dz/dxi (left twist): [0, 0, 1, y, -x, 0]
+            Jz = jnp.stack([zero, zero, jnp.ones_like(x), y, -x, zero],
+                           -1)
+            J_d = Jz - du[:, None] * Ju - dv_[:, None] * Jv
+            w_d = (depth_weight * huber_weight(jnp.abs(r_d), huber_d)
+                   * d_ok)
+            out.append((r_d, J_d, w_d))
+        return out, inb
 
     def gn_step(T, _):
-        r, J, w, _ = residual_system(T)
-        Jw = J * w[:, None]
-        Hm = Jw.T @ J + 1e-6 * jnp.eye(6)
-        b = Jw.T @ r
+        terms, _ = residual_system(T)
+        Hm = 1e-6 * jnp.eye(6)
+        b = jnp.zeros(6)
+        for r, J, w in terms:
+            Jw = J * w[:, None]
+            Hm = Hm + Jw.T @ J
+            b = b + Jw.T @ r
         dx = -jnp.linalg.solve(Hm, b)
         return se3_mul(se3_exp(dx), T), None
 
     T, _ = jax.lax.scan(gn_step, T_init, None, length=iters)
-    r, _, w, inb = residual_system(T)
+    terms, inb = residual_system(T)
+    r = terms[0][0]
     n = jnp.maximum(inb.sum(), 1)
     frac = inb.sum() / jnp.maximum(valid.sum(), 1)
     err = jnp.sum(jnp.where(inb, jnp.abs(r), 0.0)) / n
@@ -213,16 +255,27 @@ class DirectOdometry:
                                 se3_inverse(self.kf_pose_cw))
             T = se3_mul(self.velocity, T_ck_prev)
             base = self.kf_shapes[0]
+            use_d = c.use_depth_residual and frame.depth is not None
             with timer.section("direct/align"):
                 for li in range(len(pyr) - 1, -1, -1):
                     lvl = pyr[li]
                     gx, gy = _gradients(lvl)
                     fxl, fyl, cxl, cyl = _level_intrinsics(
                         self.camera, lvl.shape, base)
+                    dl = dgx = dgy = None
+                    if use_d:
+                        # nearest resize: bilinear would blur depth
+                        # discontinuities into phantom surfaces
+                        dl = jax.image.resize(jnp.asarray(frame.depth),
+                                              lvl.shape, "nearest")
+                        dgx, dgy = _gradients(dl)
                     T, fr, er = _align_level(
                         lvl, gx, gy, self.kf_X, self.kf_refs[li],
                         self.kf_valid, T, c.gn_iters,
-                        fxl, fyl, cxl, cyl, c.huber_delta)
+                        fxl, fyl, cxl, cyl, c.huber_delta,
+                        depth=dl, dgx=dgx, dgy=dgy,
+                        depth_weight=c.depth_weight,
+                        huber_d=c.huber_depth, use_depth=use_d)
                 frac, err = float(fr), float(er)
                 timer.block(T)
             if frac >= c.min_valid_frac:

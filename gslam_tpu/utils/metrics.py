@@ -25,6 +25,19 @@ def device_memory_stats() -> Dict[str, int]:
     return dict(stats) if stats else {}
 
 
+_T_WALL0 = time.perf_counter()
+_T_CPU0 = time.process_time()
+
+
+def cpu_percent() -> float:
+    """Mean process CPU utilization since import (%; >100 on
+    multithreaded hosts — same semantics as the reference's CPU column
+    from its evaluation module)."""
+    dw = time.perf_counter() - _T_WALL0
+    dc = time.process_time() - _T_CPU0
+    return 100.0 * dc / max(dw, 1e-9)
+
+
 def host_rss_bytes() -> int:
     try:
         with open("/proc/self/status") as f:
