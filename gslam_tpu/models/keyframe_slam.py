@@ -284,6 +284,9 @@ class KeyframeSLAM:
         self.pose_wc = se3_inverse(T21)
         self.last_kf_id = int(kf1)
         self.initialized = True
+        # discard IMU accumulated across the whole pre-init stretch:
+        # the next inter-keyframe factor must span (kf1, next_kf] only
+        self._imu_acc = None
 
     # ------------------------------------------------------------------
     def _local_map_slab(self):
