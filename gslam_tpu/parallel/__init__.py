@@ -16,5 +16,7 @@ strategies"); this package is new TPU-first design per SURVEY 5.7/5.8:
   control), SPMD collectives over ICI via ``shard_map``.
 """
 
-from gslam_tpu.parallel.mesh import make_mesh, shard_points_spec
+from gslam_tpu.parallel.mesh import (make_dp_mesh, make_mesh,
+                                     shard_points_spec)
 from gslam_tpu.parallel.dist_ba import distributed_bundle_adjust
+from gslam_tpu.parallel.tracking import sharded_track_batch

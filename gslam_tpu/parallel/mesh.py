@@ -9,6 +9,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def make_dp_mesh(n: Optional[int] = None,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """1-D frame-parallel mesh (axis 'dp') over n devices — for the
+    sharded tracking step (parallel/tracking.py)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n is not None:
+        devs = devs[:n]
+    return Mesh(np.asarray(devs), ("dp",))
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
               axis_names: Tuple[str, str] = ("pt", "obs"),
               devices: Optional[Sequence] = None) -> Mesh:

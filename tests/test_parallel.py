@@ -156,3 +156,37 @@ class TestMultiSequenceDistributedBA:
         n1 = int(s1.arena.n_frames)
         assert np.abs(pos[:n1, 0]).max() < 25.0
         assert pos[n1:, 0].min() > 25.0
+
+
+class TestShardedTracking:
+    """Frame-parallel tracking (parallel/tracking.py): B frames sharded
+    over a 1-D 'dp' mesh must give bit-identical results to running the
+    fused tracking step per frame on one device."""
+
+    def test_matches_per_frame(self):
+        from gslam_tpu.models.graft import example_inputs, track_forward
+        from gslam_tpu.parallel.mesh import make_dp_mesh
+        from gslam_tpu.parallel.tracking import sharded_track_batch
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs 4 cpu devices")
+        mesh = make_dp_mesh(4, devices=devs)
+        img, cam, xyz, desc, valid, key = example_inputs(
+            H=96, W=128, M=512, max_kps=128)
+        B = 8
+        imgs = jnp.stack([img + 1e-4 * i for i in range(B)])
+        keys = jax.random.split(key, B)
+        poses, n_inl, n_feat = sharded_track_batch(
+            mesh, imgs, cam, xyz, desc, valid, keys, max_kps=128,
+            ransac_b=64)
+        assert poses.shape == (B, 7)
+        for i in range(0, B, 3):
+            T, n, nf = track_forward(imgs[i], cam, xyz, desc, valid,
+                                     keys[i], max_kps=128, ransac_b=64)
+            np.testing.assert_allclose(np.asarray(poses[i]),
+                                       np.asarray(T), atol=1e-5)
+            assert int(n_inl[i]) == int(n)
+            assert int(n_feat[i]) == int(nf)
+        # the step found real inlier sets (not degenerate)
+        assert int(jnp.min(n_inl)) > 20
