@@ -140,6 +140,19 @@ def _run_sequence(s: Svar):
 
         save_arena(slam.arena, save_map)
         log.info("saved map arena to %s", save_map)
+    # trajectory export: TUM (.txt: t xyz qxyzw) or KITTI (.kitti: 3x4)
+    save_traj = s.arg("save_traj", "",
+                      "write trajectory (TUM .txt / .kitti)")
+    if save_traj and getattr(slam, "trajectory", None):
+        from gslam_tpu.eval.trajectory import (save_kitti_trajectory,
+                                               save_tum_trajectory)
+
+        poses = np.stack(slam.trajectory)[:, :7]
+        if save_traj.endswith(".kitti"):
+            save_kitti_trajectory(save_traj, poses)
+        else:
+            save_tum_trajectory(save_traj, np.asarray(ts), poses)
+        log.info("saved trajectory to %s", save_traj)
     return ds, slam, np.asarray(ts), (np.stack(gts) if gts else None)
 
 

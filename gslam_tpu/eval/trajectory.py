@@ -89,6 +89,47 @@ class TrajectoryMetrics(NamedTuple):
     scale: float
 
 
+def save_tum_trajectory(path: str, ts: np.ndarray,
+                        poses_wc: np.ndarray) -> None:
+    """Write a TUM-format trajectory: ``t tx ty tz qx qy qz qw`` per
+    line, cam->world (the format consumed by the TUM RGB-D benchmark
+    tools and the reference's evaluation workflow)."""
+    poses_wc = np.asarray(poses_wc)
+    with open(path, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for t, p in zip(np.asarray(ts), poses_wc):
+            w, x, y, z = p[3:7]  # internal order wxyz -> file xyzw
+            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{x:.6f} {y:.6f} {z:.6f} {w:.6f}\n")
+
+
+def load_tum_trajectory(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a TUM-format trajectory -> (ts (N,), poses_wc (N, 7) with
+    quaternions reordered to internal wxyz)."""
+    ts, poses = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = [float(tok) for tok in line.split()]
+            ts.append(v[0])
+            poses.append([v[1], v[2], v[3], v[7], v[4], v[5], v[6]])
+    return np.asarray(ts), np.asarray(poses, np.float32)
+
+
+def save_kitti_trajectory(path: str, poses_wc: np.ndarray) -> None:
+    """Write a KITTI-odometry-format trajectory: 12 floats per line,
+    the row-major 3x4 [R|t] cam->world matrix."""
+    from gslam_tpu.core.se3 import se3_to_matrix
+
+    with open(path, "w") as f:
+        for p in np.asarray(poses_wc):
+            M = np.asarray(se3_to_matrix(jnp.asarray(p, jnp.float32)))
+            f.write(" ".join(f"{v:.6e}" for v in M[:3].reshape(-1))
+                    + "\n")
+
+
 def evaluate_trajectory(t_est: np.ndarray, p_est: np.ndarray,
                         t_gt: np.ndarray, p_gt: np.ndarray,
                         with_scale: bool = True, max_dt: float = 0.02,

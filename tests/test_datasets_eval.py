@@ -268,3 +268,36 @@ class TestEval:
         assert m.n_matched == 40
         assert 0.0 < m.ate_rmse < 0.05
         assert m.rpe_rmse < 0.05
+
+
+class TestTrajectoryIO:
+    def test_tum_roundtrip(self, tmp_path):
+        from gslam_tpu.eval.trajectory import (load_tum_trajectory,
+                                               save_tum_trajectory)
+
+        rng = np.random.default_rng(1)
+        ts = np.arange(5, dtype=np.float64) * 0.1
+        poses = np.zeros((5, 7), np.float32)
+        poses[:, :3] = rng.uniform(-1, 1, (5, 3))
+        q = rng.normal(size=(5, 4))
+        poses[:, 3:7] = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        p = str(tmp_path / "traj.txt")
+        save_tum_trajectory(p, ts, poses)
+        t2, p2 = load_tum_trajectory(p)
+        np.testing.assert_allclose(t2, ts, atol=1e-6)
+        np.testing.assert_allclose(p2, poses, atol=1e-5)
+
+    def test_kitti_format(self, tmp_path):
+        from gslam_tpu.eval.trajectory import save_kitti_trajectory
+
+        poses = np.zeros((3, 7), np.float32)
+        poses[:, 3] = 1.0  # identity quats
+        poses[:, 0] = [0.0, 0.5, 1.0]
+        p = str(tmp_path / "00.kitti")
+        save_kitti_trajectory(p, poses)
+        rows = [[float(x) for x in line.split()]
+                for line in open(p) if line.strip()]
+        assert len(rows) == 3 and all(len(r) == 12 for r in rows)
+        M = np.asarray(rows[1]).reshape(3, 4)
+        np.testing.assert_allclose(M[:, :3], np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(M[:, 3], [0.5, 0, 0], atol=1e-6)
