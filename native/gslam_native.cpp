@@ -4,8 +4,9 @@
 // in the TPU re-design the compute path is XLA but the host data path
 // stays native: this library provides
 //   * self-contained image decoders (PGM/PPM binary, BMP 24/32, PNG
-//     gray8/gray16/RGB8 via zlib inflate + unfilter), no OpenCV/PIL
-//     dependency on the hot path;
+//     gray8/gray16/RGB8 via zlib inflate + unfilter, baseline JPEG
+//     SOF0 with arbitrary chroma subsampling + restart markers), no
+//     OpenCV/PIL dependency on the hot path;
 //   * grayscale-f32 conversion (BT.601) done during decode;
 //   * a multi-threaded readahead loader: worker threads decode a file
 //     list ahead of the consumer into a bounded ring (the reference's
@@ -16,6 +17,8 @@
 // Build: g++ -O3 -march=native -shared -fPIC gslam_native.cpp -lz -lpthread
 
 #include <zlib.h>
+
+#include <cmath>
 
 #include <atomic>
 #include <condition_variable>
@@ -202,9 +205,311 @@ bool decode_png(const std::vector<uint8_t>& buf, Image* img) {
   return true;
 }
 
+// ---------------------------------------------------------------- JPEG
+// Baseline sequential DCT (SOF0), the format of aerial/video survey
+// datasets (the reference decodes these through OpenCV imdecode; here
+// a self-contained decoder keeps the native data path dependency-free).
+// Supports: 8-bit samples, 1 or 3 components, arbitrary chroma
+// subsampling, restart intervals.  Progressive (SOF2) falls back to
+// the Python/PIL path.
+struct HuffTable {
+  // canonical decode: for each length, first code + index into symbols
+  int32_t mincode[17] = {0};
+  int32_t maxcode[17] = {0};
+  int32_t valptr[17] = {0};
+  std::vector<uint8_t> symbols;
+  bool present = false;
+};
+
+struct JpegBits {
+  const uint8_t* p;
+  size_t n, pos = 0;
+  uint32_t acc = 0;
+  int bits = 0;
+  bool marker_hit = false;
+
+  int next_byte() {
+    while (pos < n) {
+      uint8_t b = p[pos++];
+      if (b != 0xFF) return b;
+      if (pos < n && p[pos] == 0x00) {  // stuffed FF
+        ++pos;
+        return 0xFF;
+      }
+      // real marker (restart handled by caller via reset()): stop
+      --pos;
+      marker_hit = true;
+      return -1;
+    }
+    marker_hit = true;
+    return -1;
+  }
+  int get_bit() {
+    if (bits == 0) {
+      const int b = next_byte();
+      if (b < 0) return 0;  // pad past marker (spec behavior)
+      acc = static_cast<uint32_t>(b);
+      bits = 8;
+    }
+    --bits;
+    return (acc >> bits) & 1;
+  }
+  int get_bits(int k) {
+    int v = 0;
+    for (int i = 0; i < k; ++i) v = (v << 1) | get_bit();
+    return v;
+  }
+  void reset() {  // at a restart marker: skip FFDx, clear bit buffer
+    bits = 0;
+    marker_hit = false;
+    if (pos + 1 < n && p[pos] == 0xFF && p[pos + 1] >= 0xD0 &&
+        p[pos + 1] <= 0xD7)
+      pos += 2;
+  }
+};
+
+int huff_decode(JpegBits* bs, const HuffTable& t) {
+  int code = 0;
+  for (int len = 1; len <= 16; ++len) {
+    code = (code << 1) | bs->get_bit();
+    if (t.maxcode[len] >= 0 && code <= t.maxcode[len] &&
+        code >= t.mincode[len]) {
+      const int idx = t.valptr[len] + (code - t.mincode[len]);
+      if (idx < static_cast<int>(t.symbols.size())) return t.symbols[idx];
+    }
+  }
+  return -1;
+}
+
+int jpeg_extend(int v, int k) {  // sign-extend a k-bit magnitude
+  return (k && v < (1 << (k - 1))) ? v - (1 << k) + 1 : v;
+}
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+void idct8x8(const float* in, float* out) {
+  static float C[8][8];
+  static bool init = false;
+  if (!init) {
+    for (int k = 0; k < 8; ++k)
+      for (int x = 0; x < 8; ++x)
+        C[k][x] = (k == 0 ? 0.353553390593f : 0.5f) *
+                  std::cos((2 * x + 1) * k * 3.14159265358979f / 16.0f);
+    init = true;
+  }
+  float tmp[64];
+  for (int u = 0; u < 8; ++u)  // rows: tmp = coeff^T applied on cols
+    for (int x = 0; x < 8; ++x) {
+      float s = 0;
+      for (int v = 0; v < 8; ++v) s += in[u * 8 + v] * C[v][x];
+      tmp[u * 8 + x] = s;
+    }
+  for (int x = 0; x < 8; ++x)
+    for (int y = 0; y < 8; ++y) {
+      float s = 0;
+      for (int u = 0; u < 8; ++u) s += tmp[u * 8 + x] * C[u][y];
+      out[y * 8 + x] = s;
+    }
+}
+
+bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
+  if (buf.size() < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return false;
+  uint16_t qt[4][64] = {};
+  HuffTable hdc[4], hac[4];
+  struct Comp {
+    int id = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0, dc_pred = 0;
+    std::vector<float> plane;  // full-resolution (w x h) samples
+    int pw = 0, ph = 0;        // plane dims (component resolution)
+  };
+  Comp comp[3];
+  int ncomp = 0, W = 0, H = 0, restart = 0;
+  size_t pos = 2;
+  auto rd16 = [&](size_t o) { return (buf[o] << 8) | buf[o + 1]; };
+
+  while (pos + 4 <= buf.size()) {
+    if (buf[pos] != 0xFF) return false;
+    const uint8_t m = buf[pos + 1];
+    if (m == 0xD8) { pos += 2; continue; }
+    if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { pos += 2; continue; }
+    const size_t len = rd16(pos + 2);
+    const size_t dp = pos + 4;
+    if (dp + len - 2 > buf.size()) return false;
+    if (m == 0xC4) {  // DHT
+      size_t o = dp;
+      while (o < dp + len - 2) {
+        const int tc = buf[o] >> 4, th = buf[o] & 15;
+        if (th > 3) return false;
+        HuffTable& t = tc ? hac[th] : hdc[th];
+        t.present = true;
+        t.symbols.clear();
+        int counts[17] = {0}, total = 0;
+        for (int i = 1; i <= 16; ++i) {
+          counts[i] = buf[o + i];
+          total += counts[i];
+        }
+        t.symbols.assign(buf.begin() + o + 17, buf.begin() + o + 17 + total);
+        int code = 0, k = 0;
+        for (int lenb = 1; lenb <= 16; ++lenb) {
+          t.valptr[lenb] = k;
+          t.mincode[lenb] = code;
+          code += counts[lenb];
+          k += counts[lenb];
+          t.maxcode[lenb] = counts[lenb] ? code - 1 : -1;
+          code <<= 1;
+        }
+        o += 17 + total;
+      }
+    } else if (m == 0xDB) {  // DQT
+      size_t o = dp;
+      while (o < dp + len - 2) {
+        const int prec = buf[o] >> 4, tq_ = buf[o] & 15;
+        if (tq_ > 3) return false;
+        ++o;
+        for (int i = 0; i < 64; ++i) {
+          qt[tq_][i] = prec ? rd16(o + 2 * i) : buf[o + i];
+        }
+        o += prec ? 128 : 64;
+      }
+    } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1 baseline
+      H = rd16(dp + 1);
+      W = rd16(dp + 3);
+      ncomp = buf[dp + 5];
+      if (buf[dp] != 8 || (ncomp != 1 && ncomp != 3)) return false;
+      for (int c = 0; c < ncomp; ++c) {
+        comp[c].id = buf[dp + 6 + 3 * c];
+        comp[c].h = buf[dp + 7 + 3 * c] >> 4;
+        comp[c].v = buf[dp + 7 + 3 * c] & 15;
+        comp[c].tq = buf[dp + 8 + 3 * c];
+        if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1 ||
+            comp[c].v > 4)
+          return false;
+      }
+    } else if (m == 0xC2) {
+      return false;  // progressive: PIL fallback
+    } else if (m == 0xDD) {  // DRI
+      restart = rd16(dp);
+    } else if (m == 0xDA) {  // SOS -> entropy data follows
+      const int ns = buf[dp];
+      for (int s = 0; s < ns; ++s) {
+        const int cid = buf[dp + 1 + 2 * s];
+        for (int c = 0; c < ncomp; ++c)
+          if (comp[c].id == cid) {
+            comp[c].td = buf[dp + 2 + 2 * s] >> 4;
+            comp[c].ta = buf[dp + 2 + 2 * s] & 15;
+          }
+      }
+      pos = dp + len - 2;
+      goto scan;
+    }
+    pos = dp + len - 2;
+  }
+  return false;
+
+scan:
+  if (W <= 0 || H <= 0 || ncomp == 0) return false;
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < ncomp; ++c) {
+    hmax = std::max(hmax, comp[c].h);
+    vmax = std::max(vmax, comp[c].v);
+  }
+  const int mcux = (W + 8 * hmax - 1) / (8 * hmax);
+  const int mcuy = (H + 8 * vmax - 1) / (8 * vmax);
+  for (int c = 0; c < ncomp; ++c) {
+    comp[c].pw = mcux * 8 * comp[c].h;
+    comp[c].ph = mcuy * 8 * comp[c].v;
+    comp[c].plane.assign(static_cast<size_t>(comp[c].pw) * comp[c].ph,
+                         0.0f);
+  }
+
+  JpegBits bs{buf.data() + pos, buf.size() - pos};
+  int mcu_count = 0;
+  for (int my = 0; my < mcuy; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      if (restart && mcu_count && mcu_count % restart == 0) {
+        bs.reset();
+        for (int c = 0; c < ncomp; ++c) comp[c].dc_pred = 0;
+      }
+      ++mcu_count;
+      for (int c = 0; c < ncomp; ++c) {
+        Comp& C_ = comp[c];
+        if (!hdc[C_.td].present || !hac[C_.ta].present) return false;
+        for (int by = 0; by < C_.v; ++by) {
+          for (int bx = 0; bx < C_.h; ++bx) {
+            float block[64] = {0};
+            // DC
+            const int tdc = huff_decode(&bs, hdc[C_.td]);
+            if (tdc < 0) return false;
+            const int diff = jpeg_extend(bs.get_bits(tdc), tdc);
+            C_.dc_pred += diff;
+            block[0] = static_cast<float>(C_.dc_pred * qt[C_.tq][0]);
+            // AC
+            for (int k = 1; k < 64;) {
+              const int rs = huff_decode(&bs, hac[C_.ta]);
+              if (rs < 0) return false;
+              const int r = rs >> 4, s = rs & 15;
+              if (s == 0) {
+                if (r == 15) { k += 16; continue; }
+                break;  // EOB
+              }
+              k += r;
+              if (k > 63) break;
+              const int v = jpeg_extend(bs.get_bits(s), s);
+              block[kZigzag[k]] = static_cast<float>(v * qt[C_.tq][k]);
+              ++k;
+            }
+            float px[64];
+            idct8x8(block, px);
+            const int ox = (mx * C_.h + bx) * 8;
+            const int oy = (my * C_.v + by) * 8;
+            for (int y = 0; y < 8; ++y)
+              for (int x = 0; x < 8; ++x)
+                C_.plane[static_cast<size_t>(oy + y) * C_.pw + ox + x] =
+                    px[y * 8 + x] + 128.0f;
+          }
+        }
+      }
+    }
+  }
+
+  img->w = W;
+  img->h = H;
+  img->ch = ncomp == 1 ? 1 : 3;
+  img->bitdepth = 8;
+  img->data.resize(static_cast<size_t>(W) * H * img->ch);
+  auto clamp8 = [](float v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
+  };
+  for (int y = 0; y < H; ++y) {
+    for (int x = 0; x < W; ++x) {
+      if (ncomp == 1) {
+        img->data[static_cast<size_t>(y) * W + x] =
+            clamp8(comp[0].plane[static_cast<size_t>(y) * comp[0].pw + x]);
+        continue;
+      }
+      float ycc[3];
+      for (int c = 0; c < 3; ++c) {
+        // nearest-neighbor upsample from component resolution
+        const int sx = x * comp[c].h / hmax;
+        const int sy = y * comp[c].v / vmax;
+        ycc[c] = comp[c].plane[static_cast<size_t>(sy) * comp[c].pw + sx];
+      }
+      const float Y = ycc[0], Cb = ycc[1] - 128.0f, Cr = ycc[2] - 128.0f;
+      uint8_t* d = img->data.data() + (static_cast<size_t>(y) * W + x) * 3;
+      d[0] = clamp8(Y + 1.402f * Cr);
+      d[1] = clamp8(Y - 0.344136f * Cb - 0.714136f * Cr);
+      d[2] = clamp8(Y + 1.772f * Cb);
+    }
+  }
+  return true;
+}
+
 bool decode_any(const std::vector<uint8_t>& buf, Image* img) {
-  return decode_png(buf, img) || decode_pnm(buf, img) ||
-         decode_bmp(buf, img);
+  return decode_png(buf, img) || decode_jpeg(buf, img) ||
+         decode_pnm(buf, img) || decode_bmp(buf, img);
 }
 
 // gray f32 conversion (BT.601; 16-bit scaled to [0,1])

@@ -82,3 +82,72 @@ class TestLoader:
             np.testing.assert_allclose(fr, golds[i], atol=1e-6)
         assert ld.next() is None
         ld.close()
+
+
+class TestJpeg:
+    """Baseline JPEG decoder vs PIL gold (lossy: compare against PIL's
+    decode of the same file, tolerance covers IDCT/upsampling variance
+    between implementations)."""
+
+    def _gold(self, path):
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+    def _make(self, tmp_path, rng, shape, name, **save_kw):
+        from PIL import Image
+
+        # smooth image: JPEG reconstruction differences stay small
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]].astype(np.float32)
+        base = (128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+                + rng.normal(0, 4, shape[:2]))
+        if len(shape) == 3:
+            arr = np.stack([base, np.roll(base, 3, 0),
+                            np.roll(base, 5, 1)], -1)
+        else:
+            arr = base
+        arr = arr.clip(0, 255).astype(np.uint8)
+        p = str(tmp_path / name)
+        Image.fromarray(arr).save(p, **save_kw)
+        return p
+
+    def test_gray(self, tmp_path, rng):
+        p = self._make(tmp_path, rng, (40, 56), "g.jpg", quality=92)
+        out = native_loader.decode_gray_f32(p)
+        gold = self._gold(p)
+        gold_g = (0.299 * gold[..., 0] + 0.587 * gold[..., 1]
+                  + 0.114 * gold[..., 2]).astype(np.float32) / 255.0
+        assert out.shape == gold_g.shape
+        assert np.abs(out - gold_g).mean() < 0.01
+
+    def test_rgb_420(self, tmp_path, rng):
+        p = self._make(tmp_path, rng, (48, 64, 3), "c.jpg", quality=90,
+                       subsampling=2)  # 4:2:0
+        out = native_loader.decode_gray_f32(p)
+        gold = self._gold(p)
+        gold_g = (0.299 * gold[..., 0] + 0.587 * gold[..., 1]
+                  + 0.114 * gold[..., 2]).astype(np.float32) / 255.0
+        assert out.shape == gold_g.shape
+        assert np.abs(out - gold_g).mean() < 0.02
+
+    def test_rgb_444_odd_size(self, tmp_path, rng):
+        p = self._make(tmp_path, rng, (41, 53, 3), "o.jpg", quality=95,
+                       subsampling=0)  # 4:4:4, non-multiple-of-8 dims
+        out = native_loader.decode_gray_f32(p)
+        gold = self._gold(p)
+        gold_g = (0.299 * gold[..., 0] + 0.587 * gold[..., 1]
+                  + 0.114 * gold[..., 2]).astype(np.float32) / 255.0
+        assert out.shape == gold_g.shape
+        assert np.abs(out - gold_g).mean() < 0.01
+
+    def test_restart_markers(self, tmp_path, rng):
+        from PIL import Image
+
+        p = self._make(tmp_path, rng, (32, 48, 3), "r.jpg", quality=90,
+                       restart_marker_rows=1)
+        out = native_loader.decode_gray_f32(p)
+        gold = self._gold(p)
+        gold_g = (0.299 * gold[..., 0] + 0.587 * gold[..., 1]
+                  + 0.114 * gold[..., 2]).astype(np.float32) / 255.0
+        assert out.shape == gold_g.shape
+        assert np.abs(out - gold_g).mean() < 0.02
