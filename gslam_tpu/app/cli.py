@@ -62,7 +62,13 @@ def _build_slam(dataset, s: Svar):
             kwargs["vocabulary"] = load_vocabulary(voc_path)
         else:
             kwargs["vocabulary"] = load_binary(voc_path)
-    return SLAMS.create(name, dataset.camera, **kwargs)
+    slam = SLAMS.create(name, dataset.camera, **kwargs)
+    # -load_map: resume / localize on a prebuilt arena (Map::load)
+    load_map = s.arg("load_map", "", "resume from a map arena (npz)")
+    if load_map and hasattr(slam, "load_map"):
+        slam.load_map(load_map)
+        log.info("loaded map arena from %s", load_map)
+    return slam
 
 
 def _maybe_force_cpu(s: Svar) -> None:

@@ -130,6 +130,27 @@ class KeyframeSLAM:
     def valid(self) -> bool:
         return True
 
+    def load_map(self, arena_or_path, pose_wc=None) -> None:
+        """Resume/localize on a prebuilt map (reference ``Map::load``,
+        ``GSLAM/core/Map.h``): load an arena checkpoint and continue
+        tracking against it.  Without ``pose_wc`` the camera starts at
+        the last keyframe's pose (use BoW relocalization for unknown
+        starts — it engages automatically when tracking fails)."""
+        from gslam_tpu.map.arena import load_arena
+
+        arena = (load_arena(arena_or_path)
+                 if isinstance(arena_or_path, str) else arena_or_path)
+        self.arena = arena
+        self.last_kf_id = int(arena.n_frames) - 1
+        self.initialized = (self.last_kf_id >= 0
+                            and int(arena.point_valid.sum()) > 20)
+        if pose_wc is not None:
+            self.pose_wc = jnp.asarray(pose_wc)
+        elif self.last_kf_id >= 0:
+            self.pose_wc = se3_inverse(
+                self.arena.frame_pose[self.last_kf_id][:7])
+        self.velocity = se3_identity()
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub

@@ -97,13 +97,11 @@ class TestKeyframeSLAME2E:
 
         arena2 = load_arena(p)
         assert arena_stats(arena2) == arena_stats(slam.arena)
-        # resume: a new SLAM instance continues on the loaded map
+        # resume via the public Map::load analog: a new SLAM instance
+        # continues on the loaded map from the last keyframe's pose
         slam2 = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
-        slam2.arena = arena2
-        slam2.initialized = True
-        slam2.last_kf_id = int(arena2.n_frames) - 1
-        slam2.pose_wc = slam.pose_wc
-        slam2.velocity = slam.velocity
+        slam2.load_map(p)
+        assert slam2.initialized
         for fr in frames[6:8]:
             slam2.track(fr)
         assert slam2.stats[-1]["n_inliers"] >= 20
