@@ -161,7 +161,11 @@ class EuRoCDataset(Dataset):
         imu = None
         if len(self.imu):
             t_prev = self.entries[idx - 1][0] * 1e-9 if idx > 0 else t - 0.05
-            sel = (self.imu[:, 0] > t_prev) & (self.imu[:, 0] <= t)
+            # INCLUSIVE lower bound: preintegration anchors on the first
+            # sample (zero dt), so the boundary sample must appear in
+            # both adjacent windows or one sample interval per frame is
+            # silently dropped (~10% of each window on EuRoC)
+            sel = (self.imu[:, 0] >= t_prev) & (self.imu[:, 0] <= t)
             imu = self.imu[sel].copy()
             # body -> camera frame (rotation part of T_BS^-1)
             imu[:, 1:4] = imu[:, 1:4] @ self.R_cb.T

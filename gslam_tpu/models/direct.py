@@ -131,8 +131,14 @@ def _align_level(img, gx, gy, X, I_ref, valid, T_init, iters,
             dv_ = dgy[vi, ui]
             r_d = z - Dc
             d_ok = (inb & (Dc > 1e-3) & jnp.isfinite(Dc)
+                    & jnp.isfinite(du) & jnp.isfinite(dv_)
                     & (du * du + dv_ * dv_ < 0.25)
                     & (jnp.abs(r_d) < 0.5))
+            # gated values must be SCRUBBED, not just zero-weighted:
+            # NaN depth would poison the normal equations via NaN*0
+            r_d = jnp.where(d_ok, r_d, 0.0)
+            du = jnp.where(d_ok, du, 0.0)
+            dv_ = jnp.where(d_ok, dv_, 0.0)
             # dz/dxi (left twist): [0, 0, 1, y, -x, 0]
             Jz = jnp.stack([zero, zero, jnp.ones_like(x), y, -x, zero],
                            -1)

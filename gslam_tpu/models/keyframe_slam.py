@@ -120,6 +120,7 @@ class KeyframeSLAM:
         self._imu_acc = None               # ImuFactor or None
         self.imu_edges: List[tuple] = []   # (kf_i, kf_j, dq ndarray)
         self.imu_factors: List[tuple] = []  # (kf_i, kf_j, ImuFactor)
+        self._imu_factor_idx: dict = {}    # (kf_i, kf_j) -> ImuFactor
         self.kf_vel: dict = {}             # kf id -> world velocity (3,)
         self.gravity_w = None              # (3,) after VI init
         self.vi_ready = False
@@ -150,6 +151,14 @@ class KeyframeSLAM:
             self.pose_wc = se3_inverse(
                 self.arena.frame_pose[self.last_kf_id][:7])
         self.velocity = se3_identity()
+        # rebuild the BoW keyframe database from the stored descriptors
+        # so relocalization/loop closure work on the loaded map
+        if self.loop_closer is not None:
+            for f in range(self.last_kf_id + 1):
+                self.loop_closer.add_keyframe(
+                    f, self.arena.frame_desc[f],
+                    jnp.arange(self.cfg.max_kps)
+                    < self.arena.frame_kp_count[f])
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -195,9 +204,19 @@ class KeyframeSLAM:
         if frame.imu is not None and len(frame.imu) > 1:
             from gslam_tpu.core.imu import compose_factors, preintegrate_full
 
+            # pad the window to a power-of-two bucket: per-frame sample
+            # counts jitter (dropped samples, rate changes) and every
+            # distinct length would retrace the jitted 9x9 scan
+            m = len(frame.imu)
+            cap = 8
+            while cap < m:
+                cap *= 2
+            samples = np.zeros((cap, 7), np.float32)
+            samples[:m] = frame.imu
+            valid = np.zeros(cap, bool)
+            valid[:m] = True
             imu_delta = preintegrate_full(
-                jnp.asarray(frame.imu, jnp.float32),
-                jnp.ones(len(frame.imu), bool),
+                jnp.asarray(samples), jnp.asarray(valid),
                 gyro_noise=c.imu_gyro_noise,
                 accel_noise=c.imu_accel_noise)
             self._imu_acc = imu_delta if self._imu_acc is None \
@@ -403,9 +422,9 @@ class KeyframeSLAM:
             if self._imu_acc is not None and self.last_kf_id >= 0:
                 self.imu_edges.append(
                     (fid, self.last_kf_id, np.asarray(self._imu_acc.dq)))
-                self.imu_factors.append(
-                    (self.last_kf_id, fid,
-                     jax.tree_util.tree_map(np.asarray, self._imu_acc)))
+                fac = jax.tree_util.tree_map(np.asarray, self._imu_acc)
+                self.imu_factors.append((self.last_kf_id, fid, fac))
+                self._imu_factor_idx[(self.last_kf_id, fid)] = fac
                 self._predict_kf_velocity(self.last_kf_id, fid,
                                           self._imu_acc)
             self._imu_acc = None
@@ -518,6 +537,10 @@ class KeyframeSLAM:
             frame_kp_depth=a.frame_kp_depth * s)
         self.pose_wc = self.pose_wc.at[:3].multiply(s)
         self.velocity = self.velocity.at[:3].multiply(s)
+        # the already-recorded trajectory must follow, or exports mix
+        # pre- and post-alignment scales
+        self.trajectory = [
+            np.concatenate([p[:3] * s, p[3:]]) for p in self.trajectory]
 
     def _relocalize(self, feats: Features) -> bool:
         """BoW relocalization after tracking loss (reference: the
@@ -656,11 +679,16 @@ class KeyframeSLAM:
         pj = np.full(K, -1, np.int32)
         pv = np.zeros(K, bool)
         facs = []
-        for (i, j, f) in self.imu_factors:
-            if i in loc and j in loc and len(facs) < K:
-                k = len(facs)
-                pi[k], pj[k], pv[k] = loc[i], loc[j], True
-                facs.append(f)
+        # factors exist only between temporally consecutive keyframes:
+        # look up each in-window ordered pair in the index (O(window^2))
+        # rather than scanning the whole unbounded factor history
+        for i in sorted(loc):
+            for j in sorted(loc):
+                f = self._imu_factor_idx.get((i, j))
+                if f is not None and len(facs) < K:
+                    k = len(facs)
+                    pi[k], pj[k], pv[k] = loc[i], loc[j], True
+                    facs.append(f)
         while len(facs) < K:
             facs.append(identity_factor())
         vel = np.stack([self.kf_vel.get(f, np.zeros(3, np.float32))

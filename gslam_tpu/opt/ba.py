@@ -119,6 +119,82 @@ def ba_cost(problem: BundleProblem, huber_delta: float = 0.01
     return jnp.sum(jnp.where(valid, w * e * e, 0.0))
 
 
+def schur_reduce(prob: BundleProblem, lam, huber_delta: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray, jnp.ndarray]:
+    """Landmark-eliminated (Schur-reduced) vision normal equations.
+
+    The numerically subtle core shared by :func:`bundle_adjust` and the
+    visual-inertial LM (:mod:`gslam_tpu.opt.vi`): robust-weighted
+    residual/Jacobian assembly, per-point 3x3 Hpp inversion, dense-W
+    GEMM reduction.  Returns (S (6C, 6C), b_s (6C,), Wf (6C, 3P),
+    Hpp_inv (P, 3, 3), bp (P, 3)) for the CURRENT state in ``prob``.
+    """
+    C = prob.cam_pose.shape[0]
+    P = prob.point_xyz.shape[0]
+    O = prob.obs_cam.shape[1]
+    cam_free = ~prob.cam_fixed
+    pt_free = ~prob.point_fixed
+
+    r, Jc, Jp, valid = _project_residual_jac(prob)
+    e = jnp.linalg.norm(r, axis=-1)
+    w = prob.obs_weight * huber_weight(e, huber_delta)
+    w = jnp.where(valid, w, 0.0)                   # (P, O)
+    # zero out Jacobians of fixed blocks
+    Jc = Jc * cam_free[prob.obs_cam][..., None, None]
+    Jp = Jp * pt_free[:, None, None, None]
+
+    sw = w[..., None, None]
+    # per-point landmark blocks
+    Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)  # (P, 3, 3)
+    bp = jnp.einsum("poia,poi->pa", Jp * sw, r)      # (P, 3)
+    # camera blocks via segment scatter
+    Hcc_e = jnp.einsum("poia,poib->poab", Jc * sw, Jc)  # (P, O, 6, 6)
+    bc_e = jnp.einsum("poia,poi->poa", Jc * sw, r)
+    cam_flat = prob.obs_cam.reshape(-1)
+    Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(
+        Hcc_e.reshape(-1, 6, 6))
+    bc = jnp.zeros((C, 6)).at[cam_flat].add(bc_e.reshape(-1, 6))
+    # W blocks, dense layout (6C, 3P)
+    W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)  # (P, O, 6, 3)
+    Wd = jnp.zeros((C, 6, P, 3)).at[prob.obs_cam.reshape(-1),
+                                    :,
+                                    jnp.repeat(jnp.arange(P), O),
+                                    :].add(
+        W_e.reshape(-1, 6, 3))
+
+    # damping
+    Hpp = Hpp + (lam * jnp.eye(3))[None]
+    # pin fixed points so the 3x3 inverse is well-defined
+    Hpp = jnp.where(pt_free[:, None, None], Hpp, jnp.eye(3)[None])
+    Hcc = Hcc + (lam * jnp.eye(6))[None]
+    Hcc = jnp.where(cam_free[:, None, None], Hcc, jnp.eye(6)[None])
+
+    Hpp_inv = jnp.linalg.inv(Hpp)                   # (P, 3, 3)
+    bp = bp * pt_free[:, None]
+    bc = bc * cam_free[:, None]
+
+    # Schur: S = Hcc - W Hpp^-1 W^T as one GEMM
+    Wf = Wd.reshape(C * 6, P * 3)
+    Y = jnp.einsum("cpq,pqr->cpr",
+                   Wd.reshape(C * 6, P, 3), Hpp_inv)  # (6C, P, 3)
+    Yf = Y.reshape(C * 6, P * 3)
+    # dense block-diagonal Hcc -> (6C, 6C)
+    ii = jnp.arange(C)
+    rows = jnp.broadcast_to(
+        ii[:, None, None] * 6 + jnp.arange(6)[None, :, None],
+        (C, 6, 6)).reshape(-1)
+    cols = jnp.broadcast_to(
+        ii[:, None, None] * 6 + jnp.arange(6)[None, None, :],
+        (C, 6, 6)).reshape(-1)
+    Hcc_d = jnp.zeros((C * 6, C * 6)).at[rows, cols].set(
+        Hcc.reshape(-1))
+    S = Hcc_d - jnp.dot(Yf, Wf.T,
+                        preferred_element_type=jnp.float32)
+    b_s = bc.reshape(-1) - Yf @ (bp.reshape(-1))
+    return S, b_s, Wf, Hpp_inv, bp
+
+
 @partial(jax.jit, static_argnames=("iters", "huber_delta"))
 def bundle_adjust(problem: BundleProblem, iters: int = 10,
                   lm_lambda0: float = 1e-4, huber_delta: float = 0.01
@@ -129,70 +205,13 @@ def bundle_adjust(problem: BundleProblem, iters: int = 10,
     """
     C = problem.cam_pose.shape[0]
     P = problem.point_xyz.shape[0]
-    O = problem.obs_cam.shape[1]
 
     cam_free = ~problem.cam_fixed
     pt_free = ~problem.point_fixed
 
     def normal_equations(cam_pose, point_xyz, lam):
         prob = problem._replace(cam_pose=cam_pose, point_xyz=point_xyz)
-        r, Jc, Jp, valid = _project_residual_jac(prob)
-        e = jnp.linalg.norm(r, axis=-1)
-        w = prob.obs_weight * huber_weight(e, huber_delta)
-        w = jnp.where(valid, w, 0.0)                   # (P, O)
-        # zero out Jacobians of fixed blocks
-        Jc = Jc * cam_free[prob.obs_cam][..., None, None]
-        Jp = Jp * pt_free[:, None, None, None]
-
-        sw = w[..., None, None]
-        # per-point landmark blocks
-        Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)  # (P, 3, 3)
-        bp = jnp.einsum("poia,poi->pa", Jp * sw, r)      # (P, 3)
-        # camera blocks via segment scatter
-        Hcc_e = jnp.einsum("poia,poib->poab", Jc * sw, Jc)  # (P, O, 6, 6)
-        bc_e = jnp.einsum("poia,poi->poa", Jc * sw, r)
-        cam_flat = prob.obs_cam.reshape(-1)
-        Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(
-            Hcc_e.reshape(-1, 6, 6))
-        bc = jnp.zeros((C, 6)).at[cam_flat].add(bc_e.reshape(-1, 6))
-        # W blocks, dense layout (6C, 3P)
-        W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)  # (P, O, 6, 3)
-        Wd = jnp.zeros((C, 6, P, 3)).at[prob.obs_cam.reshape(-1),
-                                        :,
-                                        jnp.repeat(jnp.arange(P), O),
-                                        :].add(
-            W_e.reshape(-1, 6, 3))
-
-        # damping
-        Hpp = Hpp + (lam * jnp.eye(3))[None]
-        # pin fixed points so the 3x3 inverse is well-defined
-        Hpp = jnp.where(pt_free[:, None, None], Hpp, jnp.eye(3)[None])
-        Hcc = Hcc + (lam * jnp.eye(6))[None]
-        Hcc = jnp.where(cam_free[:, None, None], Hcc, jnp.eye(6)[None])
-
-        Hpp_inv = jnp.linalg.inv(Hpp)                   # (P, 3, 3)
-        bp = bp * pt_free[:, None]
-        bc = bc * cam_free[:, None]
-
-        # Schur: S = Hcc - W Hpp^-1 W^T as one GEMM
-        Wf = Wd.reshape(C * 6, P * 3)
-        Y = jnp.einsum("cpq,pqr->cpr",
-                       Wd.reshape(C * 6, P, 3), Hpp_inv)  # (6C, P, 3)
-        Yf = Y.reshape(C * 6, P * 3)
-        # dense block-diagonal Hcc -> (6C, 6C)
-        ii = jnp.arange(C)
-        rows = jnp.broadcast_to(
-            ii[:, None, None] * 6 + jnp.arange(6)[None, :, None],
-            (C, 6, 6)).reshape(-1)
-        cols = jnp.broadcast_to(
-            ii[:, None, None] * 6 + jnp.arange(6)[None, None, :],
-            (C, 6, 6)).reshape(-1)
-        Hcc_d = jnp.zeros((C * 6, C * 6)).at[rows, cols].set(
-            Hcc.reshape(-1))
-        S = Hcc_d - jnp.dot(Yf, Wf.T,
-                            preferred_element_type=jnp.float32)
-        b_s = bc.reshape(-1) - Yf @ (bp.reshape(-1))
-        return S, b_s, Wf, Hpp_inv, bp
+        return schur_reduce(prob, lam, huber_delta)
 
     def apply_update(cam_pose, point_xyz, S, b_s, Wf, Hpp_inv, bp):
         # solve reduced camera system (solve with jitter fallback)

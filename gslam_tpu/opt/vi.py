@@ -38,8 +38,7 @@ import numpy as np
 from gslam_tpu.core.imu import GRAVITY, ImuFactor
 from gslam_tpu.core.se3 import se3_exp, se3_mul
 from gslam_tpu.core.so3 import (quat_mul, quat_to_matrix, so3_exp, so3_log)
-from gslam_tpu.opt.ba import BundleProblem, _project_residual_jac, ba_cost
-from gslam_tpu.opt.robust import huber_weight
+from gslam_tpu.opt.ba import BundleProblem, ba_cost, schur_reduce
 
 _EPS = 1e-12
 
@@ -208,47 +207,9 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         return jnp.einsum("ka,kab,kb->", r, infos, r)
 
     def vision_normal_eq(cam_pose, point_xyz, lam):
-        """Schur-reduced vision system (same math as opt.ba)."""
+        """Schur-reduced vision system (shared core in opt.ba)."""
         prob = vis._replace(cam_pose=cam_pose, point_xyz=point_xyz)
-        r, Jc, Jp, valid = _project_residual_jac(prob)
-        e = jnp.linalg.norm(r, axis=-1)
-        w = prob.obs_weight * huber_weight(e, huber_delta)
-        w = jnp.where(valid, w, 0.0)
-        Jc = Jc * cam_free[prob.obs_cam][..., None, None]
-        Jp = Jp * pt_free[:, None, None, None]
-        sw = w[..., None, None]
-        Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)
-        bp = jnp.einsum("poia,poi->pa", Jp * sw, r)
-        Hcc_e = jnp.einsum("poia,poib->poab", Jc * sw, Jc)
-        bc_e = jnp.einsum("poia,poi->poa", Jc * sw, r)
-        cam_flat = prob.obs_cam.reshape(-1)
-        Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(Hcc_e.reshape(-1, 6, 6))
-        bc = jnp.zeros((C, 6)).at[cam_flat].add(bc_e.reshape(-1, 6))
-        W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
-        Wd = jnp.zeros((C, 6, P, 3)).at[
-            prob.obs_cam.reshape(-1), :,
-            jnp.repeat(jnp.arange(P), prob.obs_cam.shape[1]), :].add(
-            W_e.reshape(-1, 6, 3))
-        Hpp = Hpp + (lam * jnp.eye(3))[None]
-        Hpp = jnp.where(pt_free[:, None, None], Hpp, jnp.eye(3)[None])
-        Hpp_inv = jnp.linalg.inv(Hpp)
-        bp = bp * pt_free[:, None]
-        bc = bc * cam_free[:, None]
-        Wf = Wd.reshape(C * 6, P * 3)
-        Y = jnp.einsum("cpq,pqr->cpr", Wd.reshape(C * 6, P, 3), Hpp_inv)
-        Yf = Y.reshape(C * 6, P * 3)
-        ii = jnp.arange(C)
-        rows = jnp.broadcast_to(
-            ii[:, None, None] * 6 + jnp.arange(6)[None, :, None],
-            (C, 6, 6)).reshape(-1)
-        cols = jnp.broadcast_to(
-            ii[:, None, None] * 6 + jnp.arange(6)[None, None, :],
-            (C, 6, 6)).reshape(-1)
-        Hcc_d = jnp.zeros((C * 6, C * 6)).at[rows, cols].set(
-            Hcc.reshape(-1))
-        S = Hcc_d - jnp.dot(Yf, Wf.T, preferred_element_type=jnp.float32)
-        b_s = bc.reshape(-1) - Yf @ bp.reshape(-1)
-        return S, b_s, Wf, Hpp_inv, bp
+        return schur_reduce(prob, lam, huber_delta)
 
     def total_cost(cam_pose, point_xyz, vel, bg, ba, dg):
         vc = ba_cost(vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),

@@ -20,6 +20,7 @@
 
 #include <cmath>
 
+#include <array>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -292,15 +293,16 @@ const uint8_t kZigzag[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 void idct8x8(const float* in, float* out) {
-  static float C[8][8];
-  static bool init = false;
-  if (!init) {
+  // magic static: thread-safe init (the readahead loader decodes
+  // JPEGs from multiple worker threads concurrently)
+  static const std::array<std::array<float, 8>, 8> C = [] {
+    std::array<std::array<float, 8>, 8> c{};
     for (int k = 0; k < 8; ++k)
       for (int x = 0; x < 8; ++x)
-        C[k][x] = (k == 0 ? 0.353553390593f : 0.5f) *
+        c[k][x] = (k == 0 ? 0.353553390593f : 0.5f) *
                   std::cos((2 * x + 1) * k * 3.14159265358979f / 16.0f);
-    init = true;
-  }
+    return c;
+  }();
   float tmp[64];
   for (int u = 0; u < 8; ++u)  // rows: tmp = coeff^T applied on cols
     for (int x = 0; x < 8; ++x) {
@@ -339,8 +341,10 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
     const size_t dp = pos + 4;
     if (dp + len - 2 > buf.size()) return false;
     if (m == 0xC4) {  // DHT
+      const size_t seg_end = dp + len - 2;
       size_t o = dp;
-      while (o < dp + len - 2) {
+      while (o < seg_end) {
+        if (o + 17 > seg_end) return false;  // malformed segment
         const int tc = buf[o] >> 4, th = buf[o] & 15;
         if (th > 3) return false;
         HuffTable& t = tc ? hac[th] : hdc[th];
@@ -351,6 +355,7 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
           counts[i] = buf[o + i];
           total += counts[i];
         }
+        if (o + 17 + total > seg_end) return false;
         t.symbols.assign(buf.begin() + o + 17, buf.begin() + o + 17 + total);
         int code = 0, k = 0;
         for (int lenb = 1; lenb <= 16; ++lenb) {
@@ -364,21 +369,26 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
         o += 17 + total;
       }
     } else if (m == 0xDB) {  // DQT
+      const size_t seg_end = dp + len - 2;
       size_t o = dp;
-      while (o < dp + len - 2) {
+      while (o < seg_end) {
         const int prec = buf[o] >> 4, tq_ = buf[o] & 15;
         if (tq_ > 3) return false;
         ++o;
+        if (o + (prec ? 128 : 64) > seg_end) return false;
         for (int i = 0; i < 64; ++i) {
           qt[tq_][i] = prec ? rd16(o + 2 * i) : buf[o + i];
         }
         o += prec ? 128 : 64;
       }
     } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1 baseline
+      if (len < 8) return false;
       H = rd16(dp + 1);
       W = rd16(dp + 3);
       ncomp = buf[dp + 5];
       if (buf[dp] != 8 || (ncomp != 1 && ncomp != 3)) return false;
+      if (dp + 6 + 3 * static_cast<size_t>(ncomp) > dp + len - 2)
+        return false;
       for (int c = 0; c < ncomp; ++c) {
         comp[c].id = buf[dp + 6 + 3 * c];
         comp[c].h = buf[dp + 7 + 3 * c] >> 4;
@@ -394,6 +404,8 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
       restart = rd16(dp);
     } else if (m == 0xDA) {  // SOS -> entropy data follows
       const int ns = buf[dp];
+      if (dp + 1 + 2 * static_cast<size_t>(ns) > dp + len - 2)
+        return false;
       for (int s = 0; s < ns; ++s) {
         const int cid = buf[dp + 1 + 2 * s];
         for (int c = 0; c < ncomp; ++c)

@@ -30,6 +30,18 @@ class TestFastNmsKernel:
         out = fast_nms_pallas(img, interpret=True)
         assert float(jnp.abs(out).max()) == 0.0
 
+    @pytest.mark.parametrize("shape", [(240, 320), (123, 160), (61, 96)])
+    def test_gold_odd_shapes(self, rng, shape):
+        """Stripe grid + halo padding must stay gold-exact when H is
+        not a multiple of the stripe (incl. H smaller than one stripe)
+        — pyramid levels hit such shapes constantly."""
+        H, W = shape
+        img = jnp.asarray(blob_image(rng, H=H, W=W, n=30))
+        gold = nms(fast_score(img, 0.08))
+        out = fast_nms_pallas(img, threshold=0.08, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(gold),
+                                   atol=1e-5)
+
 
 class TestMatcherKernel:
     def _sets(self, rng, n=64, m=48):
