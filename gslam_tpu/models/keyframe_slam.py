@@ -34,13 +34,12 @@ from gslam_tpu.core.se3 import (se3_apply, se3_identity, se3_inverse,
                                 se3_mul)
 from gslam_tpu.core.sim3 import sim3_from_se3
 from gslam_tpu.datasets.base import FrameData
-from gslam_tpu.estimation.pnp import find_pnp_ransac, pnp_reproj_error
+from gslam_tpu.estimation.pnp import find_pnp_ransac
 from gslam_tpu.estimation.epipolar import triangulate
 from gslam_tpu.estimation.init2view import two_view_geometry
 from gslam_tpu.map.arena import (MapArena, add_observations,
                                  covisibility_topk, frame_point_ids,
                                  insert_frame, insert_points, make_arena)
-from gslam_tpu.models.odometry import FrameToFrameOdometry
 from gslam_tpu.ops.frontend import Features, extract_features
 from gslam_tpu.ops.matching import (match_descriptors,
                                     match_descriptors_gated)

@@ -14,7 +14,7 @@ gslam_tpu.ops.matching.match_descriptors (ties broken by lowest index).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

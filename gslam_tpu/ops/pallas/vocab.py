@@ -60,7 +60,9 @@ def _vocab_kernel(desc_ref, valid_ref, nodes_ref, words_ref, *, k, L,
         # ties -> lowest child index, matching jnp.argmin
         node = jnp.min(jnp.where(Dm == best, cols, m), axis=1,
                        keepdims=True)
-    words_ref[:] = jnp.where(valid_ref[:] > 0, node[:, 0], -1)
+    # valid/words are (N, 1) columns: 1-D operands hit an XLA/Mosaic
+    # layout disagreement (T(512) vs T(128)) on current libtpu
+    words_ref[:] = jnp.where(valid_ref[:] > 0, node, -1)
 
 
 @partial(jax.jit, static_argnames=("k", "L", "interpret"))
@@ -79,22 +81,22 @@ def transform_words_pallas(node_desc: jnp.ndarray, desc: jnp.ndarray,
     n_pad = (-N) % _TILE_N
     A = unpack_descriptors(jnp.pad(desc, ((0, n_pad), (0, 0))))
     Nd = unpack_descriptors(node_desc)
-    valid_p = jnp.pad(valid.astype(jnp.int32), (0, n_pad))
+    valid_p = jnp.pad(valid.astype(jnp.int32), (0, n_pad))[:, None]
     grid = (A.shape[0] // _TILE_N,)
     words = pl.pallas_call(
         partial(_vocab_kernel, k=k, L=L, bits=bits),
-        out_shape=jax.ShapeDtypeStruct((A.shape[0],), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((A.shape[0], 1), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE_N, bits), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_N,), lambda i: (i,),
+            pl.BlockSpec((_TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_nodes, bits), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE_N,), lambda i: (i,),
+        out_specs=pl.BlockSpec((_TILE_N, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A, valid_p, Nd)
-    return words[:N]
+    return words[:N, 0]

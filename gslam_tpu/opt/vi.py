@@ -37,7 +37,7 @@ import numpy as np
 
 from gslam_tpu.core.imu import GRAVITY, ImuFactor
 from gslam_tpu.core.se3 import se3_exp, se3_mul
-from gslam_tpu.core.so3 import (quat_mul, quat_to_matrix, so3_exp, so3_log)
+from gslam_tpu.core.so3 import quat_mul, quat_to_matrix, so3_exp
 from gslam_tpu.opt.ba import BundleProblem, ba_cost, schur_reduce
 
 _EPS = 1e-12
