@@ -125,6 +125,7 @@ class KeyframeSLAM:
         self.vi_ready = False
         self.bias_g = np.zeros(3, np.float32)
         self.bias_a = np.zeros(3, np.float32)
+        self._fused_track = None           # built lazily (per camera)
 
     # ------------------------------------------------------------------
     def valid(self) -> bool:
@@ -358,32 +359,67 @@ class KeyframeSLAM:
         valid = ok & self.arena.point_valid[slab_ids]
         return slab_ids, xyz, desc, valid
 
-    def _track_local_map(self, feats: Features):
+    def _build_fused_track(self):
+        """One jitted graph for the whole per-frame tracking hot path:
+        covisibility slab gather -> predicted projection -> gated GEMM
+        matching -> PnP RANSAC + GN refine.  The reference runs this as
+        separate plugin stages (SURVEY 3.2); fusing them matters doubly
+        on remote-dispatch links where every dispatch costs tens of
+        microseconds of control-plane latency."""
+        cam = self.camera
         c = self.cfg
-        with timer.section("slam/local_map"):
-            slab_ids, xyz, desc, valid = self._local_map_slab()
-            timer.block(valid)
-        with timer.section("slam/match"):
+
+        @jax.jit
+        def fused(arena, last_kf, pose_cw_pred, kp_uv, kp_desc,
+                  kp_valid, key):
+            ids = frame_point_ids(arena, last_kf, c.local_map_size)
+            nbr, _ = covisibility_topk(
+                arena, last_kf,
+                k=min(c.ba_window, c.cap_frames - 1), min_common=5)
+            all_ids = [ids]
+            for i in range(nbr.shape[0]):
+                all_ids.append(jnp.where(
+                    nbr[i] >= 0,
+                    frame_point_ids(arena, nbr[i].clip(0),
+                                    c.local_map_size), -1))
+            cat = jnp.concatenate(all_ids)
+            srt = jnp.sort(cat)
+            uniq = jnp.where((srt != jnp.roll(srt, 1))
+                             | (jnp.arange(srt.shape[0]) == 0), srt, -1)
+            uniq = jnp.sort(uniq)[::-1][:c.local_map_size]
+            ok = uniq >= 0
+            slab_ids = uniq.clip(0)
+            xyz = arena.point_xyz[slab_ids]
+            desc = arena.point_desc[slab_ids]
+            valid = ok & arena.point_valid[slab_ids]
+            pc = se3_apply(pose_cw_pred, xyz)
+            uv_pred, proj_ok = cam.project(pc)
+            m = match_descriptors_gated(
+                desc, valid & proj_ok, kp_desc, kp_valid,
+                uv_pred, kp_uv, c.gate_radius_px,
+                max_dist=c.match_max_dist, ratio=c.match_ratio)
+            rays = cam.unproject(kp_uv[m.idx.clip(0)])[:, :2]
+            thr = (c.pnp_px_threshold / cam.fx) ** 2
+            T, inl, n = find_pnp_ransac(key, xyz, rays, m.valid,
+                                        threshold=thr)
+            return slab_ids, m, inl, T, n
+
+        return fused
+
+    def _track_local_map(self, feats: Features):
+        with timer.section("slam/track_fused"):
+            if self._fused_track is None:
+                self._fused_track = self._build_fused_track()
             # search by projection under a constant-velocity pose
             # prediction (resolves repetitive-texture ambiguity)
             pose_cw_pred = se3_mul(self.velocity,
                                    se3_inverse(self.pose_wc))
-            pc = se3_apply(pose_cw_pred, xyz)
-            uv_pred, proj_ok = self.camera.project(pc)
-            m = match_descriptors_gated(
-                desc, valid & proj_ok, feats.desc, feats.valid,
-                uv_pred, feats.uv, c.gate_radius_px,
-                max_dist=c.match_max_dist, ratio=c.match_ratio)
-            timer.block(m)
-        n_matches = int(m.count)
-        rays = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
-        with timer.section("slam/pnp"):
-            thr = (c.pnp_px_threshold / self.camera.fx) ** 2
-            T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays,
-                                        m.valid, threshold=thr)
+            slab_ids, m, inl, T, n = self._fused_track(
+                self.arena, jnp.asarray(self.last_kf_id), pose_cw_pred,
+                feats.uv, feats.desc, feats.valid, self._next_key())
             timer.block(T)
         self._last_track = (slab_ids, m, inl)
-        return T, n_matches, int(n)
+        return T, int(m.count), int(n)
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int, n_matches: int) -> bool:
