@@ -313,6 +313,34 @@ def frame_point_ids(arena: MapArena, frame_id: jnp.ndarray,
     return pts[:max_points].astype(jnp.int32)
 
 
+def covis_union_ids(arena: MapArena, frame_id: jnp.ndarray,
+                    slab_size: int, window: int,
+                    min_common: int = 5) -> jnp.ndarray:
+    """Union of point ids observed by `frame_id` and its top-`window`
+    covisible neighbours, deduped, packed largest-id-first into a fixed
+    (slab_size,) slot array (-1 = empty).  jit-safe (static shapes).
+
+    This is the single shared implementation of the local-map /
+    BA-window point selection (reference: the covisibility-window
+    gather of ``GSLAM/core/MapFrame.h`` getParents/getChildren +
+    getObservations); tracking, BA and dedup all go through it so the
+    selection logic cannot diverge.
+    """
+    ids = frame_point_ids(arena, frame_id, slab_size)
+    nbr, _ = covisibility_topk(arena, frame_id, k=window,
+                               min_common=min_common)
+    all_ids = [ids]
+    for i in range(nbr.shape[0]):
+        all_ids.append(jnp.where(
+            nbr[i] >= 0,
+            frame_point_ids(arena, nbr[i].clip(0), slab_size), -1))
+    cat = jnp.concatenate(all_ids)
+    srt = jnp.sort(cat)
+    uniq = jnp.where((srt != jnp.roll(srt, 1))
+                     | (jnp.arange(srt.shape[0]) == 0), srt, -1)
+    return jnp.sort(uniq)[::-1][:slab_size].astype(jnp.int32)
+
+
 def cull_points(arena: MapArena, min_obs: int = 2,
                 min_age_frames: int = 3) -> MapArena:
     """Erase low-quality landmarks (standard SLAM map maintenance):

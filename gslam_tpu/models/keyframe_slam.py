@@ -38,8 +38,9 @@ from gslam_tpu.estimation.pnp import find_pnp_ransac
 from gslam_tpu.estimation.epipolar import triangulate
 from gslam_tpu.estimation.init2view import two_view_geometry
 from gslam_tpu.map.arena import (MapArena, add_observations,
-                                 covisibility_topk, frame_point_ids,
-                                 insert_frame, insert_points, make_arena)
+                                 covis_union_ids, covisibility_topk,
+                                 frame_point_ids, insert_frame,
+                                 insert_points, make_arena)
 from gslam_tpu.ops.frontend import Features, extract_features
 from gslam_tpu.ops.matching import (match_descriptors,
                                     match_descriptors_gated)
@@ -212,7 +213,13 @@ class KeyframeSLAM:
             while cap < m:
                 cap *= 2
             samples = np.zeros((cap, 7), np.float32)
-            samples[:m] = frame.imu
+            win = np.array(frame.imu, np.float64)
+            # rebase timestamps in f64 BEFORE the f32 cast: absolute
+            # EuRoC epochs (~1.4e9 s) have ~128 s f32 resolution, which
+            # collapses 5 ms sample spacings to zero dt and silently
+            # disables preintegration
+            win[:, 0] -= win[0, 0]
+            samples[:m] = win
             valid = np.zeros(cap, bool)
             valid[:m] = True
             imu_delta = preintegrate_full(
@@ -333,25 +340,10 @@ class KeyframeSLAM:
         """Fixed-size (ids, xyz, desc, valid) from the covisibility
         neighborhood of the last keyframe."""
         c = self.cfg
-        ids = frame_point_ids(self.arena, jnp.asarray(self.last_kf_id),
-                              c.local_map_size)
-        nbr, _ = covisibility_topk(self.arena,
-                                   jnp.asarray(self.last_kf_id),
-                                   k=min(c.ba_window,
-                                         self.arena.cap_frames - 1),
-                                   min_common=5)
-        # union: own points first, then neighbors' (dedup via sort+mask)
-        all_ids = [ids]
-        for i in range(nbr.shape[0]):
-            all_ids.append(jnp.where(
-                nbr[i] >= 0,
-                frame_point_ids(self.arena, nbr[i].clip(0),
-                                c.local_map_size), -1))
-        cat = jnp.concatenate(all_ids)
-        srt = jnp.sort(cat)
-        uniq = jnp.where((srt != jnp.roll(srt, 1)) | (jnp.arange(
-            srt.shape[0]) == 0), srt, -1)
-        uniq = jnp.sort(uniq)[::-1][:c.local_map_size]  # biggest first
+        uniq = covis_union_ids(
+            self.arena, jnp.asarray(self.last_kf_id), c.local_map_size,
+            window=min(c.ba_window, self.arena.cap_frames - 1),
+            min_common=5)
         ok = uniq >= 0
         slab_ids = uniq.clip(0)
         xyz = self.arena.point_xyz[slab_ids]
@@ -372,21 +364,9 @@ class KeyframeSLAM:
         @jax.jit
         def fused(arena, last_kf, pose_cw_pred, kp_uv, kp_desc,
                   kp_valid, key):
-            ids = frame_point_ids(arena, last_kf, c.local_map_size)
-            nbr, _ = covisibility_topk(
-                arena, last_kf,
-                k=min(c.ba_window, c.cap_frames - 1), min_common=5)
-            all_ids = [ids]
-            for i in range(nbr.shape[0]):
-                all_ids.append(jnp.where(
-                    nbr[i] >= 0,
-                    frame_point_ids(arena, nbr[i].clip(0),
-                                    c.local_map_size), -1))
-            cat = jnp.concatenate(all_ids)
-            srt = jnp.sort(cat)
-            uniq = jnp.where((srt != jnp.roll(srt, 1))
-                             | (jnp.arange(srt.shape[0]) == 0), srt, -1)
-            uniq = jnp.sort(uniq)[::-1][:c.local_map_size]
+            uniq = covis_union_ids(
+                arena, last_kf, c.local_map_size,
+                window=min(c.ba_window, c.cap_frames - 1), min_common=5)
             ok = uniq >= 0
             slab_ids = uniq.clip(0)
             xyz = arena.point_xyz[slab_ids]
@@ -666,16 +646,9 @@ class KeyframeSLAM:
             cam_ids = jnp.concatenate([kf[None], nbr])[:c.ba_window]
             cam_ids = cam_ids.astype(jnp.int32)
             # points of the window = the last kf's points + neighbors'
-            pts = [frame_point_ids(self.arena, kf, c.ba_points)]
-            for i in range(nbr.shape[0]):
-                pts.append(jnp.where(
-                    nbr[i] >= 0,
-                    frame_point_ids(self.arena, nbr[i].clip(0),
-                                    c.ba_points), -1))
-            cat = jnp.sort(jnp.concatenate(pts))
-            uniq = jnp.where((cat != jnp.roll(cat, 1))
-                             | (jnp.arange(cat.shape[0]) == 0), cat, -1)
-            point_ids = jnp.sort(uniq)[::-1][:c.ba_points].astype(jnp.int32)
+            point_ids = covis_union_ids(self.arena, kf, c.ba_points,
+                                        window=c.ba_window - 1,
+                                        min_common=5)
             # fix the oldest KF in the window (gauge); also fix kf 0
             fixed = jnp.zeros((c.ba_window,), bool)
             oldest = jnp.argmin(jnp.where(cam_ids >= 0, cam_ids,

@@ -215,7 +215,11 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         vc = ba_cost(vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
                      huber_delta)
         r, _ = imu_terms(cam_pose, vel, bg, ba, dg)
-        return vc + imu_cost(r)
+        # the bias random-walk prior is part of the normal equations
+        # (above); the accept test must score the same objective, or
+        # steps trading prior cost for data cost are judged incoherently
+        prior = bias_prior * (jnp.dot(bg, bg) + jnp.dot(ba, ba))
+        return vc + imu_cost(r) + prior
 
     def lm_step(state, poses_free):
         cam_pose, point_xyz, vel, bg, ba, dg, lam, cost = state

@@ -338,6 +338,7 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
     if (m == 0xD8) { pos += 2; continue; }
     if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { pos += 2; continue; }
     const size_t len = rd16(pos + 2);
+    if (len < 2) return false;  // segment length includes its own bytes
     const size_t dp = pos + 4;
     if (dp + len - 2 > buf.size()) return false;
     if (m == 0xC4) {  // DHT
@@ -394,6 +395,9 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
         comp[c].h = buf[dp + 7 + 3 * c] >> 4;
         comp[c].v = buf[dp + 7 + 3 * c] & 15;
         comp[c].tq = buf[dp + 8 + 3 * c];
+        // tq indexes qt[4]; the stream byte is 0-255 — validate here,
+        // not at use, so a crafted file can't drive an OOB read
+        if (comp[c].tq > 3) return false;
         if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1 ||
             comp[c].v > 4)
           return false;
@@ -401,8 +405,10 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
     } else if (m == 0xC2) {
       return false;  // progressive: PIL fallback
     } else if (m == 0xDD) {  // DRI
+      if (len < 4) return false;  // needs the 2-byte interval
       restart = rd16(dp);
     } else if (m == 0xDA) {  // SOS -> entropy data follows
+      if (len < 3) return false;  // needs at least the ns byte
       const int ns = buf[dp];
       if (dp + 1 + 2 * static_cast<size_t>(ns) > dp + len - 2)
         return false;
@@ -412,6 +418,8 @@ bool decode_jpeg(const std::vector<uint8_t>& buf, Image* img) {
           if (comp[c].id == cid) {
             comp[c].td = buf[dp + 2 + 2 * s] >> 4;
             comp[c].ta = buf[dp + 2 + 2 * s] & 15;
+            // td/ta index hdc[4]/hac[4]; stream nibbles reach 15
+            if (comp[c].td > 3 || comp[c].ta > 3) return false;
           }
       }
       pos = dp + len - 2;
