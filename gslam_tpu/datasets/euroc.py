@@ -92,13 +92,40 @@ class EuRoCDataset(Dataset):
         # on EuRoC) is second-order and absorbed by the accel noise
         # model / bias state of the VI optimizer.
         self.R_cb = np.eye(3)
+        T_BS0 = None
         ypath0 = os.path.join(cam0, "sensor.yaml")
         if os.path.isfile(ypath0):
-            T_BS = _yaml_tbs(open(ypath0).read())
-            if T_BS is not None:
-                self.R_cb = T_BS[:3, :3].T   # R_SB: body -> camera
+            T_BS0 = _yaml_tbs(open(ypath0).read())
+            if T_BS0 is not None:
+                self.R_cb = T_BS0[:3, :3].T   # R_SB: body -> camera
         self.cam1, self.entries1 = _load_cam(os.path.join(root, "cam1"))
         self.t1 = np.asarray([t for t, _ in self.entries1], np.int64)
+        # true stereo extrinsics from BOTH T_BS blocks:
+        # T_c1<-c0 = T_BS(cam1)^-1 @ T_BS(cam0); the baseline is its
+        # translation norm (EuRoC ~0.1100 m, but derived — not assumed)
+        self.baseline = 0.11       # fallback: nominal EuRoC baseline
+        self.T_c1c0 = None
+        ypath1 = os.path.join(root, "cam1", "sensor.yaml")
+        if T_BS0 is not None and os.path.isfile(ypath1):
+            T_BS1 = _yaml_tbs(open(ypath1).read())
+            if T_BS1 is not None:
+                T10 = np.linalg.inv(T_BS1) @ T_BS0
+                self.T_c1c0 = T10
+                self.baseline = float(np.linalg.norm(T10[:3, 3]))
+                # the stereo consumers assume RECTIFIED pairs (right
+                # camera = pure x-translation); EuRoC raw cams are only
+                # nearly so — warn when the relative rotation is large
+                ang = np.degrees(np.arccos(np.clip(
+                    (np.trace(T10[:3, :3]) - 1) / 2, -1.0, 1.0)))
+                if ang > 1.0:
+                    from gslam_tpu.utils.logging import get_logger
+
+                    get_logger("gslam_tpu.euroc").warning(
+                        "cam0->cam1 rotation is %.2f deg; stereo "
+                        "matching assumes rectified pairs — depth "
+                        "from raw EuRoC images will be biased "
+                        "(undistort+rectify upstream or use "
+                        "mono+IMU)", ang)
 
         # IMU
         self.imu = np.zeros((0, 7))
@@ -172,7 +199,7 @@ class EuRoCDataset(Dataset):
             imu[:, 4:7] = imu[:, 4:7] @ self.R_cb.T
         return FrameData(id=idx, timestamp=t, image=img, camera=self.cam,
                          image_right=right, camera_right=self.cam1,
-                         stereo_baseline=0.11,  # nominal EuRoC baseline
+                         stereo_baseline=self.baseline,
                          gt_pose=gt, imu=imu)
 
 

@@ -73,14 +73,69 @@ def _pose_cam_to_world(motion: str, i: int, n: int, radius: float):
     return R_wc, t
 
 
+def _value_noise(seed: int, n_grid: int = 64) -> np.ndarray:
+    """Seeded random grid for multi-octave value-noise texturing."""
+    return np.random.default_rng(seed).uniform(0.0, 1.0,
+                                               (n_grid, n_grid))
+
+
+def _sample_noise(grid: np.ndarray, u: np.ndarray, v: np.ndarray,
+                  octaves: int = 3) -> np.ndarray:
+    """Bilinear value noise at (u, v) in texture units, 3 octaves.
+
+    Corner-rich but smooth — FAST fires on blob edges, BRIEF patches
+    stay viewpoint-stable because the texture is glued to GEOMETRY
+    (the caller ray-casts world surfaces), not to the image plane.
+    """
+    n = grid.shape[0]
+    out = np.zeros_like(u, np.float32)
+    amp = 1.0
+    tot = 0.0
+    for o in range(octaves):
+        s = 2.0 ** o
+        x = (u * s) % n
+        y = (v * s) % n
+        x0 = np.floor(x).astype(np.int64) % n
+        y0 = np.floor(y).astype(np.int64) % n
+        x1 = (x0 + 1) % n
+        y1 = (y0 + 1) % n
+        fx = (x - np.floor(x)).astype(np.float32)
+        fy = (y - np.floor(y)).astype(np.float32)
+        v00 = grid[y0, x0]
+        v01 = grid[y0, x1]
+        v10 = grid[y1, x0]
+        v11 = grid[y1, x1]
+        val = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+               + v10 * (1 - fx) * fy + v11 * fx * fy)
+        out += amp * val.astype(np.float32)
+        tot += amp
+        amp *= 0.5
+    return out / tot
+
+
 class SyntheticDataset(Dataset):
+    """Config keys beyond the basics (VERDICT r2 item 7 hardening):
+
+    * ``texture``: ray-cast a value-noise-textured surface behind the
+      dots — a plane for "line" motion, a surrounding cylinder for
+      ring/orbit — with EXACT per-pixel depth, so images carry dense
+      realistic structure that moves consistently with the camera;
+    * ``exposure``: per-frame multiplicative gain jitter (photometric
+      robustness — auto-exposure analog);
+    * ``distortion``: [k1, k2] radial distortion; the dataset's camera
+      becomes an OpenCV-model camera and rendering goes through the
+      distorted projection, so consumers exercise the full
+      (un)distortion path end-to-end.
+    """
+
     def __init__(self, **overrides):
         super().__init__()
         self.cfg = dict(n_frames=60, n_points=300, width=320, height=240,
                         motion="orbit", seed=3, fov_deg=70.0, radius=8.0,
                         depth=True, dot_half=1, world_extent=6.0,
                         noise=0.0, stereo=False, baseline=0.3,
-                        imu=False, imu_rate=10, imu_noise=0.0)
+                        imu=False, imu_rate=10, imu_noise=0.0,
+                        texture=False, exposure=0.0, distortion=None)
         self.cfg.update(overrides)
 
     def _open(self, path: str) -> bool:
@@ -107,7 +162,51 @@ class SyntheticDataset(Dataset):
             z = 0.25 * e * np.sin(2.0 * x / e) * np.cos(1.5 * y / e)
             self.X = np.stack([x, y, z], -1)
         self.I = rng.uniform(0.55, 1.0, c["n_points"])
-        self.camera = Camera.from_fov(c["width"], c["height"], c["fov_deg"])
+        # textured mode: a dense field of distinctive micro-landmarks on
+        # the backdrop surface (plane for "line", cylinder for
+        # ring/orbit) — crisp, viewpoint-stable corners with exact
+        # depth, plus a faint quantized-noise base layer for realism
+        self.X_bg = np.zeros((0, 3))
+        self.I_bg = np.zeros((0,))
+        if c["texture"]:
+            m = int(c.get("n_texture", 3000))
+            e = c["world_extent"]
+            if c["motion"] == "line":
+                z0 = 1.35 * e
+                bx = rng.uniform(-e, e * 3.0, m)
+                by = rng.uniform(-e * 1.2, e * 1.2, m)
+                self.X_bg = np.stack([bx, by, np.full(m, z0)], -1)
+            else:
+                R_cyl = 1.8 * c["radius"]
+                th = rng.uniform(0, 2 * np.pi, m)
+                by = rng.uniform(-e * 1.2, e * 1.2, m)
+                self.X_bg = np.stack([R_cyl * np.sin(th), by,
+                                      R_cyl * np.cos(th)], -1)
+            self.I_bg = rng.uniform(0.45, 1.0, m)
+        W, H = c["width"], c["height"]
+        base = Camera.from_fov(W, H, c["fov_deg"])
+        if c["distortion"]:
+            k1, k2 = float(c["distortion"][0]), float(c["distortion"][1])
+            self.camera = Camera.opencv(W, H, float(base.fx),
+                                        float(base.fy), float(base.cx),
+                                        float(base.cy), k1, k2)
+            self._dist = (k1, k2)
+        else:
+            self.camera = base
+            self._dist = None
+        # per-pixel unit-ray LUT (camera frame) for surface ray casting;
+        # for the distorted model this bakes the iterative undistort
+        # once at open time
+        if c["texture"]:
+            uu, vv = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+            import jax.numpy as jnp
+
+            rays = np.asarray(self.camera.unproject(
+                jnp.asarray(np.stack([uu.ravel(), vv.ravel()], -1),
+                            np.float32)))
+            self._ray_lut = (rays / rays[:, 2:3]).reshape(H, W, 3) \
+                .astype(np.float32)
+            self._tex = _value_noise(c["seed"] + 7)
         self.rng = rng
         return True
 
@@ -120,24 +219,70 @@ class SyntheticDataset(Dataset):
         H, W = c["height"], c["width"]
         R_cw = R_wc.T
         t_cw = -R_cw @ t_wc
-        pc = self.X @ R_cw.T + t_cw
+        X_all, I_all = self.X, self.I
+        if len(self.X_bg):
+            X_all = np.concatenate([self.X, self.X_bg])
+            I_all = np.concatenate([self.I, self.I_bg])
+        pc = X_all @ R_cw.T + t_cw
         z = pc[:, 2]
         front = z > 0.5
-        u = self.camera.fx * pc[:, 0] / np.maximum(z, 1e-6) + self.camera.cx
-        v = self.camera.fy * pc[:, 1] / np.maximum(z, 1e-6) + self.camera.cy
+        xn = pc[:, 0] / np.maximum(z, 1e-6)
+        yn = pc[:, 1] / np.maximum(z, 1e-6)
+        if self._dist is not None:
+            k1, k2 = self._dist
+            r2 = xn * xn + yn * yn
+            f = 1.0 + k1 * r2 + k2 * r2 * r2
+            xn, yn = xn * f, yn * f
+        u = self.camera.fx * xn + self.camera.cx
+        v = self.camera.fy * yn + self.camera.cy
 
         img = np.zeros((H, W), np.float32)
-        # mild background ramp (keeps auto-exposure-ish realism, below
-        # FAST threshold)
-        img += (0.08 + 0.04 * np.linspace(0, 1, W))[None, :]
-        r = c["dot_half"]
         depth_img = np.zeros((H, W), np.float32) if want_depth else None
+        if c["texture"]:
+            # ray-cast the textured backdrop surface (exact depth)
+            d_c = self._ray_lut                       # (H, W, 3), z=1
+            d_w = d_c @ R_wc.T
+            e = c["world_extent"]
+            if c["motion"] == "line":
+                z0 = 1.35 * e
+                s = (z0 - t_wc[2]) / np.where(
+                    np.abs(d_w[..., 2]) < 1e-6, 1e-6, d_w[..., 2])
+                Xw = t_wc[None, None] + s[..., None] * d_w
+                tu = Xw[..., 0] * 2.0
+                tv = Xw[..., 1] * 2.0
+            else:
+                R_cyl = 1.8 * c["radius"]
+                ox, oz = t_wc[0], t_wc[2]
+                dx, dz = d_w[..., 0], d_w[..., 2]
+                a = dx * dx + dz * dz
+                b = 2.0 * (ox * dx + oz * dz)
+                cc = ox * ox + oz * oz - R_cyl * R_cyl
+                disc = np.maximum(b * b - 4 * a * cc, 0.0)
+                s = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-9)
+                Xw = t_wc[None, None] + s[..., None] * d_w
+                theta = np.arctan2(Xw[..., 0], Xw[..., 2])
+                tu = theta * R_cyl * 2.0
+                tv = Xw[..., 1] * 2.0
+            hit = s > 0.5
+            tex = _sample_noise(self._tex, tu, tv)
+            # quantized LOW-contrast base layer (steps below the FAST
+            # threshold): realism without feature-grade corners — the
+            # micro-landmark field (X_bg) carries the trackable texture
+            tex = np.floor(tex * 5.0) / 4.0
+            img = np.where(hit, 0.08 + 0.18 * tex, 0.08) \
+                .astype(np.float32)
+            if depth_img is not None:
+                depth_img = np.where(hit, s, 0.0).astype(np.float32)
+        else:
+            # mild background ramp (below the FAST threshold)
+            img += (0.08 + 0.04 * np.linspace(0, 1, W))[None, :]
+        r = c["dot_half"]
         ui = np.round(u).astype(np.int64)
         vi = np.round(v).astype(np.int64)
         ok = front & (ui >= r + 1) & (ui < W - r - 1) & (vi >= r + 1) \
             & (vi < H - r - 1)
         for j in np.nonzero(ok)[0]:
-            img[vi[j] - r:vi[j] + r + 1, ui[j] - r:ui[j] + r + 1] = self.I[j]
+            img[vi[j] - r:vi[j] + r + 1, ui[j] - r:ui[j] + r + 1] = I_all[j]
             if depth_img is not None:
                 depth_img[vi[j] - r:vi[j] + r + 1,
                           ui[j] - r:ui[j] + r + 1] = z[j]
@@ -194,6 +339,12 @@ class SyntheticDataset(Dataset):
         R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, c["n_frames"],
                                         c["radius"])
         img, depth_img = self._render(R_wc, t_wc, c["depth"])
+        # auto-exposure-like photometric jitter (same gain both eyes)
+        gain = 1.0
+        if c["exposure"] > 0:
+            gain = 1.0 + c["exposure"] * np.sin(
+                2 * np.pi * 3.0 * idx / max(c["n_frames"], 1))
+            img = (img * gain).clip(0.0, 1.0).astype(np.float32)
         img_right = None
         baseline = 0.0
         if c["stereo"]:
@@ -201,6 +352,9 @@ class SyntheticDataset(Dataset):
             # rectified right camera: displaced +baseline along camera x
             t_wc_right = t_wc + R_wc @ np.array([baseline, 0.0, 0.0])
             img_right, _ = self._render(R_wc, t_wc_right, False)
+            if gain != 1.0:
+                img_right = (img_right * gain).clip(0.0, 1.0) \
+                    .astype(np.float32)
 
         q_wc = _matrix_to_quat_np(R_wc)  # host-side: the dataset layer
         # must never touch the device (SURVEY 7: loaders are numpy)

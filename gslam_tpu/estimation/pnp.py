@@ -246,15 +246,22 @@ def _p3p_grunert(sample: jnp.ndarray) -> jnp.ndarray:
                               jnp.asarray([1.0, 0.0, 0.0, 0.0])))
 
 
-def pnp_reproj_error(T: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
-    """Squared reprojection error in normalized image coords."""
+def pnp_reproj_error(T: jnp.ndarray, data: jnp.ndarray,
+                     max_depth: float = jnp.inf) -> jnp.ndarray:
+    """Squared reprojection error in normalized image coords.
+
+    ``max_depth`` bounds the accepted point depth: degenerate RANSAC
+    hypotheses (near-collinear minimal samples) can place the camera
+    absurdly far away yet keep many distant points projecting tightly —
+    a scale-aware depth bound starves such consensus sets."""
     X = data[:, :3]
     uv = data[:, 3:5]
     pc = se3_apply(T, X)
     z = jnp.where(pc[:, 2] > _EPS, pc[:, 2], _EPS)
     proj = pc[:, :2] / z[:, None]
     err = jnp.sum((proj - uv) ** 2, -1)
-    return jnp.where(pc[:, 2] > _EPS, err, jnp.inf)
+    ok = (pc[:, 2] > _EPS) & (pc[:, 2] < max_depth)
+    return jnp.where(ok, err, jnp.inf)
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -295,18 +302,25 @@ def refine_pose_gn(T: jnp.ndarray, data: jnp.ndarray, weights: jnp.ndarray,
 @partial(jax.jit, static_argnames=("B", "refine_iters"))
 def find_pnp_ransac(key, points3d: jnp.ndarray, rays: jnp.ndarray,
                     valid: jnp.ndarray, threshold: float = 1e-5,
-                    B: int = 256, refine_iters: int = 5
+                    B: int = 256, refine_iters: int = 5,
+                    max_depth: float = jnp.inf
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RANSAC PnP: world points (N,3) + normalized coords (N,2) -> T_cw.
 
     threshold: squared normalized-coords reprojection error.
+    max_depth: optional scene-scale depth bound on counted inliers
+    (see :func:`pnp_reproj_error`).
     Returns (T (7,), inlier_mask, n_inliers), GN-refined on inliers.
     """
     data = jnp.concatenate([points3d, rays], -1)
-    T, inl, n = run_ransac(key, _p3p_grunert, pnp_reproj_error, data,
+
+    def err_fn(T, d):
+        return pnp_reproj_error(T, d, max_depth=max_depth)
+
+    T, inl, n = run_ransac(key, _p3p_grunert, err_fn, data,
                            valid, min_set=4, threshold=threshold, B=B)
     T = refine_pose_gn(T, data, inl.astype(jnp.float32),
                        iters=refine_iters)
-    err = pnp_reproj_error(T, data)
+    err = err_fn(T, data)
     inl = jnp.isfinite(err) & (err < threshold) & valid
     return T, inl, inl.sum()

@@ -66,6 +66,11 @@ class MapArena(struct.PyTreeNode):
     point_desc: jnp.ndarray
     point_valid: jnp.ndarray
     point_ref_frame: jnp.ndarray
+    # per-landmark tracking statistics (reference MapPoint
+    # IncreaseVisible/IncreaseFound): frames where the point was
+    # predicted visible vs actually matched as a tracking inlier
+    point_visible: jnp.ndarray
+    point_found: jnp.ndarray
     # observations
     obs_frame: jnp.ndarray
     obs_point: jnp.ndarray
@@ -106,6 +111,8 @@ def make_arena(cap_frames: int = 256, cap_kps: int = 512,
         point_desc=jnp.zeros((P, DESC_WORDS), jnp.uint32),
         point_valid=jnp.zeros((P,), bool),
         point_ref_frame=jnp.zeros((P,), i32),
+        point_visible=jnp.zeros((P,), i32),
+        point_found=jnp.zeros((P,), i32),
         obs_frame=jnp.zeros((E,), i32),
         obs_point=jnp.zeros((E,), i32),
         obs_kp=jnp.zeros((E,), i32),
@@ -200,12 +207,15 @@ def insert_points(arena: MapArena, xyz: jnp.ndarray, desc: jnp.ndarray,
                              val, buf[slots])
         return buf.at[slots].set(safe_val)
 
+    zeros_i = jnp.zeros((N,), jnp.int32)
     arena = arena.replace(
         point_xyz=scat(arena.point_xyz, xyz_s.astype(jnp.float32)),
         point_desc=scat(arena.point_desc, desc_s),
         point_normal=scat(arena.point_normal, normal_s.astype(jnp.float32)),
         point_color=scat(arena.point_color, color_s.astype(jnp.float32)),
         point_ref_frame=scat(arena.point_ref_frame, ref_s),
+        point_visible=scat(arena.point_visible, zeros_i),
+        point_found=scat(arena.point_found, zeros_i),
         point_valid=arena.point_valid.at[slots].set(
             jnp.where(write, True, arena.point_valid[slots])),
         n_points=jnp.minimum(base + n_new, arena.cap_points),
@@ -356,6 +366,116 @@ def cull_points(arena: MapArena, min_obs: int = 2,
     return arena.replace(point_valid=pv, obs_valid=ov)
 
 
+def cull_by_found_ratio(arena: MapArena, min_visible: int = 10,
+                        min_ratio: float = 0.1) -> MapArena:
+    """Erase landmarks the tracker repeatedly fails to find (the
+    reference MapPoint GetFoundRatio cull): points predicted visible in
+    >= ``min_visible`` tracked frames but matched in < ``min_ratio`` of
+    them are junk (duplicates, depth errors, moving objects).  Unlike
+    an observation-count cull this never touches landmarks that simply
+    left the field of view — their ``visible`` count stops growing —
+    so sparse-keyframe maps keep their old views for loop closure."""
+    vis = arena.point_visible
+    bad = (arena.point_valid & (vis >= min_visible)
+           & (arena.point_found < min_ratio * vis))
+    pv = arena.point_valid & ~bad
+    ov = arena.obs_valid & pv[arena.obs_point]
+    return arena.replace(point_valid=pv, obs_valid=ov)
+
+
+def refresh_points(arena: MapArena, max_obs: int = 8) -> MapArena:
+    """Refresh per-landmark statistics from current observations
+    (reference MapPoint semantics — viewing normal, representative
+    descriptor; ``GSLAM/core/MapPoint.h``-analog, SURVEY 2 row 11):
+
+    * ``point_normal``: mean unit camera->point viewing direction over
+      all observing keyframes;
+    * ``point_desc``: the observation descriptor with minimum total
+      Hamming distance to the point's other observations (the
+      min-sum-distance medoid — ORB-SLAM's "distinctive descriptor");
+    * ``point_color``: mean keypoint response channel is NOT an image
+      colour — colour refresh happens at insertion (see
+      ``insert_points``'s ``color``).
+
+    One jitted pass: observations are packed per-point (rank-within-
+    group, same trick as the BA window builder) then reduced batched.
+    """
+    P = arena.cap_points
+    E = arena.obs_frame.shape[0]
+    O = max_obs
+
+    e_ok = arena.obs_valid
+    e_pt = jnp.where(e_ok, arena.obs_point, P)
+    order = jnp.argsort(e_pt, stable=True)
+    pt_sorted = e_pt[order]
+    pos = jnp.arange(E)
+    first_of_group = jnp.full((P + 1,), E, jnp.int32).at[pt_sorted].min(
+        pos.astype(jnp.int32))
+    slot = (pos - first_of_group[pt_sorted]).astype(jnp.int32)
+    ok_sorted = e_ok[order] & (slot < O)
+    tgt_p = jnp.where(ok_sorted, pt_sorted, P)
+    tgt_o = jnp.where(ok_sorted, slot, 0)
+
+    # (P, O) packed observation tables
+    f_sorted = arena.obs_frame[order]
+    k_sorted = arena.obs_kp[order]
+    desc_e = arena.frame_desc[f_sorted, k_sorted]       # (E, W)
+    obs_desc = jnp.zeros((P + 1, O, desc_e.shape[-1]), jnp.uint32) \
+        .at[tgt_p, tgt_o].set(desc_e)[:P]
+    obs_ok = jnp.zeros((P + 1, O), bool).at[tgt_p, tgt_o].set(
+        ok_sorted)[:P]
+
+    # viewing normals: camera centre = (pose_cw)^-1 translation
+    from gslam_tpu.core.se3 import se3_inverse
+
+    centers = se3_inverse(arena.frame_pose[:, :7])[:, :3]  # (F, 3)
+    c_e = centers[f_sorted]                                # (E, 3)
+    obs_ctr = jnp.zeros((P + 1, O, 3)).at[tgt_p, tgt_o].set(c_e)[:P]
+    d = arena.point_xyz[:, None, :] - obs_ctr              # (P, O, 3)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                        1e-9)
+    n_obs = obs_ok.sum(-1)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], d, 0.0), axis=1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    has = (n_obs > 0) & arena.point_valid
+    new_normal = jnp.where(has[:, None], normal, arena.point_normal)
+
+    # medoid descriptor: pairwise Hamming (P, O, O), min row-sum
+    x = obs_desc[:, :, None, :] ^ obs_desc[:, None, :, :]
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    ham = ((x * jnp.uint32(0x01010101)) >> 24).sum(-1).astype(jnp.int32)
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    total = jnp.where(pair_ok, ham, 0).sum(-1)             # (P, O)
+    total = jnp.where(obs_ok, total, jnp.int32(1 << 30))
+    best = jnp.argmin(total, axis=-1)                      # (P,)
+    best_desc = jnp.take_along_axis(
+        obs_desc, best[:, None, None], axis=1)[:, 0]
+    new_desc = jnp.where(has[:, None], best_desc, arena.point_desc)
+
+    return arena.replace(point_normal=new_normal, point_desc=new_desc)
+
+
+def redundant_frames(arena: MapArena, min_others: int = 3,
+                     frac: float = 0.9) -> jnp.ndarray:
+    """(F,) mask of redundant keyframes (ORB-SLAM KeyFrameCulling
+    analog): a frame is redundant when >= ``frac`` of its observed
+    landmarks are seen by at least ``min_others`` OTHER keyframes.
+    The caller decides which to erase (never the newest)."""
+    obs_count = jnp.zeros((arena.cap_points,), jnp.int32).at[
+        arena.obs_point].add(arena.obs_valid.astype(jnp.int32))
+    well_seen = obs_count[arena.obs_point] >= (min_others + 1)
+    per_f = jnp.zeros((arena.cap_frames,), jnp.int32)
+    n_red = per_f.at[arena.obs_frame].add(
+        (arena.obs_valid & well_seen).astype(jnp.int32))
+    n_tot = per_f.at[arena.obs_frame].add(
+        arena.obs_valid.astype(jnp.int32))
+    return (arena.frame_valid & (n_tot > 0)
+            & (n_red >= frac * n_tot))
+
+
 def compact_arena(arena: MapArena) -> Tuple[MapArena, jnp.ndarray]:
     """Reclaim erased point/observation slots (host-side maintenance).
 
@@ -387,6 +507,8 @@ def compact_arena(arena: MapArena) -> Tuple[MapArena, jnp.ndarray]:
         point_desc=take(arena.point_desc),
         point_valid=take(arena.point_valid),
         point_ref_frame=take(arena.point_ref_frame),
+        point_visible=take(arena.point_visible),
+        point_found=take(arena.point_found),
         obs_frame=arena.obs_frame[oorder],
         obs_point=new_pt.clip(0)[oorder],
         obs_kp=arena.obs_kp[oorder],
@@ -416,8 +538,12 @@ def load_arena(path: str) -> MapArena:
     z = np.load(path)
     caps = z["_caps"]
     kw = {k: jnp.asarray(z[k]) for k in z.files if k != "_caps"}
+    # checkpoints written before the tracking-statistics fields existed
+    P = int(caps[2])
+    for name in ("point_visible", "point_found"):
+        kw.setdefault(name, jnp.zeros((P,), jnp.int32))
     return MapArena(cap_frames=int(caps[0]), cap_kps=int(caps[1]),
-                    cap_points=int(caps[2]), cap_obs=int(caps[3]), **kw)
+                    cap_points=P, cap_obs=int(caps[3]), **kw)
 
 
 def arena_stats(arena: MapArena) -> dict:
@@ -511,6 +637,8 @@ def merge_arenas(a: MapArena, b: MapArena,
         point_desc=catp("point_desc"),
         point_valid=catp("point_valid"),
         point_ref_frame=catp("point_ref_frame", b.point_ref_frame + na_f),
+        point_visible=catp("point_visible"),
+        point_found=catp("point_found"),
         obs_frame=cato("obs_frame", b.obs_frame + na_f),
         obs_point=cato("obs_point", b.obs_point + na_p),
         obs_kp=cato("obs_kp"),

@@ -71,6 +71,7 @@ class SLAMConfig:
     dedup_radius_px: float = 4.0   # no new point near an existing one
     pnp_px_threshold: float = 2.0  # RANSAC inlier gate (pixels)
     min_track_inliers: int = 12
+    reloc_min_inliers: int = 18    # PnP gate for BoW relocalization
     max_pose_jump: float = 1.0     # reject PnP poses further than this
     #                                from the motion-model prediction (m)
     max_lost_frames: int = 5       # coast this long before re-anchoring
@@ -78,6 +79,15 @@ class SLAMConfig:
     cap_points: int = 16384
     cap_obs: int = 65536
     seed: int = 0
+    # live-loop map hygiene (reference Map::eraseMapPoint / MapPoint
+    # descriptor-normal refresh / ORB-SLAM KeyFrameCulling analogs)
+    enable_map_hygiene: bool = True
+    cull_min_visible: int = 10     # found-ratio cull: trial count ...
+    cull_min_ratio: float = 0.1    # ... and tracked fraction required
+    #   (low vs the reference's 0.25: the matcher can pair at most
+    #    max_kps of the ~local_map_size visible landmarks per frame,
+    #    so genuine points run at lower found-ratios than upstream)
+    hygiene_interval: int = 4      # KFs between refresh/KF-cull passes
     # visual-inertial estimation (frames carrying IMU windows)
     enable_vi_ba: bool = True      # joint VI local BA once initialized
     vi_min_factors: int = 3        # inter-KF factors before VI init
@@ -180,6 +190,20 @@ class KeyframeSLAM:
             0, frame.depth.shape[0] - 1)
         return jnp.asarray(frame.depth)[yi, xi]
 
+    def _kp_colors(self, frame: FrameData, feats: Features):
+        """(K, 3) per-keypoint colour sampled from the frame (reference
+        ``MapFrame::getKeyPointColor`` feeding ``MapPoint`` colour);
+        grayscale intensity replicated when the image has no channels."""
+        img = jnp.asarray(frame.image)
+        if img.ndim == 2:
+            img = img[..., None]
+        xi = feats.uv[:, 0].astype(jnp.int32).clip(0, img.shape[1] - 1)
+        yi = feats.uv[:, 1].astype(jnp.int32).clip(0, img.shape[0] - 1)
+        px = img[yi, xi]                       # (K, C)
+        if px.shape[-1] == 1:
+            px = jnp.repeat(px, 3, axis=-1)
+        return px[:, :3].astype(jnp.float32)
+
     def track(self, frame: FrameData) -> np.ndarray:
         c = self.cfg
         with timer.section("slam/extract"):
@@ -197,6 +221,7 @@ class KeyframeSLAM:
                                          use_pallas=c.use_pallas)
             timer.block(feats)
         self._cur_kp_depth = self._kp_depths(frame, feats)
+        self._cur_kp_color = self._kp_colors(frame, feats)
 
         # preintegrate the frame's IMU window once (full Forster factor):
         # feeds the gyro-aided motion model below AND accumulates toward
@@ -374,15 +399,23 @@ class KeyframeSLAM:
             valid = ok & arena.point_valid[slab_ids]
             pc = se3_apply(pose_cw_pred, xyz)
             uv_pred, proj_ok = cam.project(pc)
+            visible = valid & proj_ok
             m = match_descriptors_gated(
-                desc, valid & proj_ok, kp_desc, kp_valid,
+                desc, visible, kp_desc, kp_valid,
                 uv_pred, kp_uv, c.gate_radius_px,
                 max_dist=c.match_max_dist, ratio=c.match_ratio)
             rays = cam.unproject(kp_uv[m.idx.clip(0)])[:, :2]
             thr = (c.pnp_px_threshold / cam.fx) ** 2
             T, inl, n = find_pnp_ransac(key, xyz, rays, m.valid,
                                         threshold=thr)
-            return slab_ids, m, inl, T, n
+            # landmark tracking statistics (MapPoint Increase
+            # Visible/Found) folded into the same dispatch; `visible`
+            # and the match/inlier masks are already gated by `ok`
+            new_vis = arena.point_visible.at[slab_ids].add(
+                visible.astype(jnp.int32))
+            new_fnd = arena.point_found.at[slab_ids].add(
+                (m.valid & inl).astype(jnp.int32))
+            return slab_ids, m, inl, T, n, new_vis, new_fnd
 
         return fused
 
@@ -394,10 +427,12 @@ class KeyframeSLAM:
             # prediction (resolves repetitive-texture ambiguity)
             pose_cw_pred = se3_mul(self.velocity,
                                    se3_inverse(self.pose_wc))
-            slab_ids, m, inl, T, n = self._fused_track(
+            slab_ids, m, inl, T, n, new_vis, new_fnd = self._fused_track(
                 self.arena, jnp.asarray(self.last_kf_id), pose_cw_pred,
                 feats.uv, feats.desc, feats.valid, self._next_key())
             timer.block(T)
+        self.arena = self.arena.replace(point_visible=new_vis,
+                                        point_found=new_fnd)
         self._last_track = (slab_ids, m, inl)
         return T, int(m.count), int(n)
 
@@ -447,7 +482,18 @@ class KeyframeSLAM:
             matched_kp_mask = jnp.zeros((c.max_kps,), bool)
             if self.initialized and hasattr(self, "_last_track"):
                 slab_ids, m, inl = self._last_track
-                obs_ok = m.valid & inl
+                # fuse pass (reference SearchInNeighbors/Fuse analog):
+                # besides RANSAC inliers, accept gated matches that
+                # reproject within 2x the PnP gate under the FINAL pose
+                # — genuine re-observations that keep landmark
+                # observation counts honest (map hygiene culls on them)
+                pc = se3_apply(pose_cw, self.arena.point_xyz[slab_ids])
+                uv_f, proj_ok = self.camera.project(pc)
+                err = jnp.linalg.norm(
+                    uv_f - feats.uv[m.idx.clip(0)], axis=-1)
+                fuse_ok = (m.valid & proj_ok
+                           & (err < 2.0 * c.pnp_px_threshold))
+                obs_ok = (m.valid & inl) | fuse_ok
                 self.arena = add_observations(
                     self.arena, fid, jnp.where(obs_ok, slab_ids, -1),
                     m.idx.clip(0), obs_ok)
@@ -464,8 +510,13 @@ class KeyframeSLAM:
                 pts_cam = rays3 / rays3[:, 2:3] * d[:, None]
                 pose_wc = se3_inverse(pose_cw)
                 pts_w = se3_apply(pose_wc, pts_cam)
+                ctr = pose_wc[:3]
+                nrm = pts_w - ctr
+                nrm = nrm / jnp.maximum(
+                    jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
                 self.arena, pids = insert_points(
-                    self.arena, pts_w, feats.desc, newok, ref_frame=fid)
+                    self.arena, pts_w, feats.desc, newok, ref_frame=fid,
+                    normal=nrm, color=self._cur_kp_color)
                 self.arena = add_observations(
                     self.arena, fid, pids,
                     jnp.arange(c.max_kps), newok)
@@ -489,6 +540,42 @@ class KeyframeSLAM:
                     self.pose_wc = se3_inverse(
                         self.arena.frame_pose[fid][:7])
                     self.velocity = se3_identity()
+        if self.cfg.enable_map_hygiene:
+            self._map_hygiene()
+
+    def _map_hygiene(self) -> None:
+        """Live-loop map maintenance after each keyframe (the reference
+        map is continuously culled — Map::eraseMapPoint, MapPoint
+        best-descriptor/normal refresh, redundant-keyframe culling;
+        SURVEY 3.3 + section 2 rows 11/13).  Without this the arena only
+        grows until it overflows."""
+        from gslam_tpu.map.arena import (compact_arena,
+                                         cull_by_found_ratio,
+                                         erase_frame, redundant_frames,
+                                         refresh_points)
+
+        c = self.cfg
+        with timer.section("slam/hygiene"):
+            self.arena = cull_by_found_ratio(
+                self.arena, min_visible=c.cull_min_visible,
+                min_ratio=c.cull_min_ratio)
+            nf = int(self.arena.n_frames)
+            if nf >= 8 and nf % c.hygiene_interval == 0:
+                self.arena = refresh_points(
+                    self.arena, max_obs=c.ba_obs_per_point)
+                red = np.array(redundant_frames(self.arena))
+                red[0] = False                  # gauge keyframe stays
+                red[max(0, nf - 3):] = False    # never the newest views
+                ids = np.nonzero(red)[0]
+                if len(ids):                    # at most one per tick
+                    self.arena = erase_frame(self.arena,
+                                             jnp.asarray(int(ids[0])))
+            # reclaim fragmented point slots as allocation nears the cap
+            n_alloc = int(self.arena.n_points)
+            if n_alloc > 0.8 * self.arena.cap_points:
+                n_valid = int(self.arena.point_valid.sum())
+                if n_valid < 0.7 * n_alloc:
+                    self.arena, _ = compact_arena(self.arena)
 
     # -- visual-inertial state ---------------------------------------------
     def _predict_kf_velocity(self, i: int, j: int, factor) -> None:
@@ -564,33 +651,51 @@ class KeyframeSLAM:
         best candidate's landmarks, and reset pose + motion model."""
         if self.loop_closer is None or int(self.arena.n_frames) < 2:
             return False
-        from gslam_tpu.ops.vocab import score_l2, transform
+        from gslam_tpu.ops.vocab import transform_sparse
 
-        bow, _ = transform(self.loop_closer.voc, feats.desc, feats.valid)
-        db = jnp.asarray(self.loop_closer.bow_db[:self.loop_closer.n_kf])
-        if db.shape[0] == 0:
+        bow, _ = transform_sparse(self.loop_closer.voc, feats.desc,
+                                  feats.valid,
+                                  use_pallas=self.loop_closer.use_pallas)
+        scores = self.loop_closer.query(bow)
+        if scores.shape[0] == 0:
             return False
-        scores = np.asarray(score_l2(bow, db))
-        cand = int(np.argmax(scores))
-        if scores[cand] < self.loop_closer.min_score:
-            return False
-        pids = frame_point_ids(self.arena, jnp.asarray(cand),
-                               self.cfg.local_map_size)
-        ok = (pids >= 0) & self.arena.point_valid[pids.clip(0)]
-        xyz = self.arena.point_xyz[pids.clip(0)]
-        pdesc = self.arena.point_desc[pids.clip(0)]
-        m = match_descriptors(pdesc, ok, feats.desc, feats.valid,
-                              ratio=0.9)
-        rays = self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2]
+        # try the top candidates in score order (BoW retrieval ranks,
+        # PnP verification decides — a small vocabulary discriminates
+        # weakly, so the best geometric fit is rarely the top-1 score)
         thr = (self.cfg.pnp_px_threshold / self.camera.fx) ** 2
-        T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays, m.valid,
-                                    threshold=thr)
-        if int(n) < 2 * self.cfg.min_track_inliers:
-            return False
-        self.pose_wc = se3_inverse(T)
-        self.velocity = se3_identity()
-        self._lost_frames = 0
-        return True
+        best_n, best_T, best_cand = 0, None, -1
+        for cand in np.argsort(-scores)[:5]:
+            if scores[cand] < self.loop_closer.min_score:
+                break
+            # match against the candidate's covisibility neighbourhood,
+            # not just its own points (reference relocalization enriches
+            # the candidate's landmarks the same way); the PnP pose is
+            # a WORLD pose, so the best-verifying candidate wins even
+            # when BoW ranks a different (overlapping) view first
+            pids = covis_union_ids(self.arena, jnp.asarray(int(cand)),
+                                   self.cfg.local_map_size, window=4,
+                                   min_common=5)
+            ok = (pids >= 0) & self.arena.point_valid[pids.clip(0)]
+            xyz = self.arena.point_xyz[pids.clip(0)]
+            pdesc = self.arena.point_desc[pids.clip(0)]
+            m = match_descriptors(pdesc, ok, feats.desc, feats.valid,
+                                  ratio=0.9)
+            T, inl, n = find_pnp_ransac(
+                self._next_key(), xyz,
+                self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2],
+                m.valid, threshold=thr)
+            if int(n) > best_n:
+                best_n, best_T, best_cand = int(n), T, int(cand)
+        if best_n >= self.cfg.reloc_min_inliers:
+            self.pose_wc = se3_inverse(best_T)
+            self.velocity = se3_identity()
+            self._lost_frames = 0
+            # re-anchor the tracker's local map at the relocalization
+            # site — the previous anchor is wherever tracking was lost,
+            # and its covisibility slab does not cover this view
+            self.last_kf_id = best_cand
+            return True
+        return False
 
     def _near_existing_point(self, kp_uv: jnp.ndarray, pose_cw
                              ) -> jnp.ndarray:

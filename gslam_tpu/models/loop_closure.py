@@ -24,21 +24,47 @@ from gslam_tpu.core.se3 import se3_inverse, se3_mul
 from gslam_tpu.estimation.pnp import find_pnp_ransac
 from gslam_tpu.map.arena import MapArena, frame_point_ids
 from gslam_tpu.ops.matching import match_descriptors
-from gslam_tpu.ops.vocab import Vocabulary, score_l2, transform
+from gslam_tpu.ops.vocab import (SparseBow, Vocabulary, score_l1_sparse,
+                                 transform_sparse)
 from gslam_tpu.opt.pose_graph import PoseGraph, optimize_pose_graph
 
 
 class LoopCloser:
+    """Keyframe database + loop detection/correction.
+
+    The database is SPARSE: (cap_frames, S) word-id + weight slabs
+    (S = keypoint capacity), so memory is S*8 bytes/keyframe at ANY
+    vocabulary size — a 10^6-word ORB-scale vocabulary costs the same
+    4 KB/KF as a toy one (the dense (F, n_words) matrix the round-2
+    design used dies at 4 GB there).  A query scores against all
+    keyframes with one scatter + gather (ops.vocab.score_l1_sparse).
+
+    Detection thresholds self-calibrate (ORB-SLAM convention, matching
+    the reference loop-closing stack SURVEY 3.4): a candidate must
+    score at least ``rel_factor`` times the query's score against its
+    own previous keyframe (same-scene reference), with ``min_score``
+    as an absolute floor.
+    """
+
     def __init__(self, voc: Vocabulary, cap_frames: int,
-                 min_score: float = 0.25, min_gap: int = 10,
+                 min_score: float = 0.015, min_gap: int = 10,
                  min_inliers: int = 20, seed: int = 1,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, rel_factor: float = 0.5,
+                 ransac_B: int = 1024):
         self.voc = voc
         self.use_pallas = use_pallas
         self.min_score = min_score
+        self.rel_factor = rel_factor
         self.min_gap = min_gap
         self.min_inliers = min_inliers
-        self.bow_db = np.zeros((cap_frames, voc.n_words), np.float32)
+        # loop matches carry no pose prior, so their inlier rate is far
+        # below the tracker's gated matches — the verification RANSAC
+        # needs a deeper hypothesis pool to find the true consensus
+        self.ransac_B = ransac_B
+        S = 512  # sparse slots per keyframe (>= distinct words/frame)
+        self._slots = S
+        self.bow_words = np.full((cap_frames, S), -1, np.int32)
+        self.bow_weights = np.zeros((cap_frames, S), np.float32)
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
         self.closed: List[Tuple[int, int]] = []
@@ -49,23 +75,41 @@ class LoopCloser:
 
     def add_keyframe(self, kf_id: int, desc: jnp.ndarray,
                      valid: jnp.ndarray) -> None:
-        bow, _ = transform(self.voc, desc, valid,
-                           use_pallas=self.use_pallas)
-        self.bow_db[kf_id] = np.asarray(bow)
+        bow, _ = transform_sparse(self.voc, desc, valid,
+                                  use_pallas=self.use_pallas)
+        S = self._slots
+        n = min(S, bow.words.shape[0])
+        self.bow_words[kf_id, :n] = np.asarray(bow.words[:n])
+        self.bow_weights[kf_id, :n] = np.asarray(bow.weights[:n])
         self.n_kf = max(self.n_kf, kf_id + 1)
+
+    def query(self, bow: SparseBow, n: Optional[int] = None) -> np.ndarray:
+        """L1 scores of a SparseBow vs the first ``n`` keyframes."""
+        n = self.n_kf if n is None else n
+        if n == 0:
+            return np.zeros(0, np.float32)
+        return np.array(score_l1_sparse(
+            bow, self.bow_words[:n], self.bow_weights[:n],
+            self.voc.n_words))
+
+    def bow_of(self, kf_id: int) -> SparseBow:
+        return SparseBow(jnp.asarray(self.bow_words[kf_id]),
+                         jnp.asarray(self.bow_weights[kf_id]))
 
     def detect(self, kf_id: int, top_k: int = 3) -> list:
         """Loop candidates for kf_id, best first (possibly empty)."""
         if self.n_kf <= self.min_gap:
             return []
-        q = jnp.asarray(self.bow_db[kf_id])
-        db = jnp.asarray(self.bow_db[:self.n_kf])
-        scores = np.array(score_l2(q, db))
+        scores = self.query(self.bow_of(kf_id))
+        # self-calibrating threshold: the previous keyframe sees the
+        # same scene, so its score is the "genuine revisit" reference
+        ref = scores[kf_id - 1] if kf_id >= 1 else 1.0
+        thr = max(self.min_score, self.rel_factor * float(ref))
         # mask out temporally-near keyframes
         lo = max(0, kf_id - self.min_gap)
         scores[lo:] = -1.0
         order = np.argsort(-scores)[:top_k]
-        return [int(i) for i in order if scores[i] >= self.min_score]
+        return [int(i) for i in order if scores[i] >= thr]
 
     def verify(self, arena: MapArena, camera, kf_id: int, cand_id: int,
                max_points: int = 512
@@ -75,7 +119,13 @@ class LoopCloser:
         Returns (T_cw of kf_id in the candidate's (= world) frame,
         n_inliers) or None.
         """
-        pids = frame_point_ids(arena, jnp.asarray(cand_id), max_points)
+        # candidate's landmarks enriched by its covisibility
+        # neighbourhood (map hygiene thins per-frame observation lists;
+        # the neighbourhood keeps verification well-fed)
+        from gslam_tpu.map.arena import covis_union_ids
+
+        pids = covis_union_ids(arena, jnp.asarray(cand_id), max_points,
+                               window=4, min_common=5)
         ok = (pids >= 0) & arena.point_valid[pids.clip(0)]
         xyz = arena.point_xyz[pids.clip(0)]
         pdesc = arena.point_desc[pids.clip(0)]
@@ -85,11 +135,12 @@ class LoopCloser:
         # pairs to the same vocabulary node two levels above the leaves
         if self.voc.L >= 2:
             from gslam_tpu.ops.matching import match_descriptors_word_gated
+            from gslam_tpu.ops.vocab import transform_words
 
-            _, wa = transform(self.voc, pdesc, ok,
-                              use_pallas=self.use_pallas)
-            _, wb = transform(self.voc, fdesc, fvalid,
-                              use_pallas=self.use_pallas)
+            wa = transform_words(self.voc, pdesc, ok,
+                                 use_pallas=self.use_pallas)
+            wb = transform_words(self.voc, fdesc, fvalid,
+                                 use_pallas=self.use_pallas)
             m = match_descriptors_word_gated(
                 pdesc, ok, wa, fdesc, fvalid, wb, ratio=0.9,
                 level_div=self.voc.k ** 2)
@@ -98,16 +149,74 @@ class LoopCloser:
         uv = arena.frame_kp_uv[kf_id][m.idx.clip(0)]
         rays = camera.unproject(uv)[:, :2]
         thr = (2.0 / camera.fx) ** 2
+        # scene-scale depth bound starves degenerate RANSAC hypotheses
+        # (camera absurdly far with distant points projecting tightly)
+        xyz_ok = np.asarray(xyz)[np.asarray(ok)]
+        extent = float(np.ptp(xyz_ok, axis=0).max()) if len(xyz_ok) \
+            else 1.0
+        max_depth = 4.0 * extent + 10.0
         T, inl, n = find_pnp_ransac(self._next_key(), xyz, rays, m.valid,
-                                    threshold=thr)
+                                    threshold=thr, max_depth=max_depth,
+                                    B=self.ransac_B)
+        if int(n) < max(4, self.min_inliers // 3):
+            return None
+        # second stage (reference ComputeSim3 + SearchByProjection):
+        # re-match by projecting the slab under the coarse pose with a
+        # generous pixel gate, then re-solve — descriptor-only matching
+        # is too sparse for a confident verification on its own
+        from gslam_tpu.core.se3 import se3_apply
+        from gslam_tpu.ops.matching import match_descriptors_gated
+
+        pc = se3_apply(T, xyz)
+        uv_pred, proj_ok = camera.project(pc)
+        kp_uv = arena.frame_kp_uv[kf_id]
+        m2 = match_descriptors_gated(
+            pdesc, ok & proj_ok, fdesc, fvalid, uv_pred, kp_uv,
+            gate_radius=0.25 * camera.width, max_dist=64.0, ratio=0.9)
+        rays2 = camera.unproject(kp_uv[m2.idx.clip(0)])[:, :2]
+        T2, inl2, n2 = find_pnp_ransac(self._next_key(), xyz, rays2,
+                                       m2.valid, threshold=thr,
+                                       max_depth=max_depth,
+                                       B=self.ransac_B)
+        if int(n2) > int(n):
+            T, n, m, inl = T2, n2, m2, inl2
         if int(n) < self.min_inliers:
+            return None
+        self._last_verify = (pids, m.idx, m.valid & inl)
+        # physical plausibility: a loop closure means the camera is
+        # REVISITING mapped space — its implied centre must lie within
+        # the (expanded) map volume.  Degenerate RANSAC consensus sets
+        # (near-collinear matches under a weak vocabulary gate) can
+        # otherwise pass the inlier count with an absurd pose and the
+        # pose-graph correction destroys the map.
+        center = np.asarray(se3_inverse(T)[:3])
+        F = int(arena.n_frames)
+        fpos = np.asarray(se3_inverse(arena.frame_pose[:F, :7])[:, :3])
+        lo = fpos.min(0) - 1.0
+        hi = fpos.max(0) + 1.0
+        margin = 0.5 * (hi - lo).max() + 1.0
+        if (not np.isfinite(center).all()
+                or (center < lo - margin).any()
+                or (center > hi + margin).any()):
             return None
         return T, int(n)
 
     def close(self, arena: MapArena, camera, kf_id: int,
-              imu_edges=None, imu_weight: float = 5.0
-              ) -> Tuple[MapArena, bool]:
-        """Detect + verify + pose-graph correct.  Returns (arena, did).
+              imu_edges=None, imu_weight: float = 5.0,
+              global_ba_iters: int = 0) -> Tuple[MapArena, bool]:
+        """Detect + verify + fuse + pose-graph correct (+ global BA).
+        Returns (arena, did).
+
+        The verified loop matches are FUSED into the map as
+        observations of the candidate's landmarks by the current
+        keyframe (reference loop fusion) — without them a follow-up
+        bundle adjustment would simply relax the map back to the
+        drifted configuration, since every other observation is
+        consistent with the drift.  After the pose-graph correction a
+        short global BA (``global_ba_iters`` > 0; reference "optional
+        global BA", SURVEY 3.4) polishes the whole map through those
+        loop observations, which also rescues closures verified from
+        marginal inlier counts.
 
         imu_edges: optional [(kf_i, kf_j, dq), ...] preintegrated gyro
         deltas between consecutive keyframes (body_j -> body_i) — added
@@ -123,6 +232,14 @@ class LoopCloser:
         if ver is None:
             return arena, False
         T_loop_cw, _ = ver  # pose of kf_id implied by the loop
+        # fuse loop observations: current KF's keypoints now observe
+        # the candidate neighbourhood's landmarks
+        from gslam_tpu.map.arena import add_observations
+
+        v_pids, v_kp, v_ok = self._last_verify
+        arena = add_observations(arena, kf_id,
+                                 jnp.where(v_ok, v_pids, -1),
+                                 v_kp.clip(0), v_ok)
 
         F = int(arena.n_frames)
         poses_cw = arena.frame_pose[:F, :7]
@@ -179,5 +296,11 @@ class LoopCloser:
             frame_pose=fp,
             point_xyz=jnp.where(arena.point_valid[:, None], X_new,
                                 arena.point_xyz))
+        if global_ba_iters > 0:
+            from gslam_tpu.opt.ba import global_bundle_adjust
+
+            arena, _ = global_bundle_adjust(arena, camera,
+                                            iters=global_ba_iters,
+                                            sweeps=1)
         self.closed.append((kf_id, cand))
         return arena, True

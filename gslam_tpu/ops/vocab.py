@@ -32,11 +32,21 @@ from gslam_tpu.map.arena import DESC_WORDS
 
 
 class Vocabulary(NamedTuple):
-    """Complete k-ary tree, level-major.
+    """k-ary BoW tree.
 
-    node_desc: (n_nodes, DESC_WORDS) uint32 — per-node cluster centre;
-        level l occupies [(k^l - 1)/(k-1), (k^(l+1) - 1)/(k-1)).
-    word_weight: (k^L,) float32 — IDF weight per leaf word.
+    Two layouts share this type:
+
+    * **complete** (the trained / default layout): level-major node
+      table; level l occupies [(k^l - 1)/(k-1), (k^(l+1) - 1)/(k-1));
+      ``children``/``leaf_word`` are None and child indices are
+      arithmetic — no gather through a child table.
+    * **general** (loaded DBoW2/DBoW3 trees, possibly pruned with
+      early leaves): explicit ``children`` (n_nodes, k) int32 table
+      (-1 = missing child) and ``leaf_word`` (n_nodes,) int32 word id
+      per leaf (-1 for interior nodes).
+
+    node_desc: (n_nodes, DESC_WORDS) uint32 — per-node cluster centre.
+    word_weight: (n_words,) float32 — IDF weight per leaf word.
     k, L: branching factor and depth (static).
     """
 
@@ -44,10 +54,30 @@ class Vocabulary(NamedTuple):
     word_weight: jnp.ndarray
     k: int
     L: int
+    children: Optional[jnp.ndarray] = None
+    leaf_word: Optional[jnp.ndarray] = None
 
     @property
     def n_words(self) -> int:
-        return self.k ** self.L
+        return int(self.word_weight.shape[0])
+
+
+class SparseBow(NamedTuple):
+    """Sparse BowVector: up to S (word id, TF-IDF weight) pairs.
+
+    The reference BowVector is a sorted word->weight map
+    (``GSLAM/core/Vocabulary.h``); densifying it to (n_words,) dies at
+    real vocabulary scale (k=10, L=6 -> 4 MB/frame).  This fixed-slot
+    sparse form costs S*8 bytes/frame (4 KB at S=512) at ANY vocabulary
+    size, and database scoring stays a gather (see score_l1_sparse).
+
+    words: (S,) int32 sorted ascending, -1 padding at the END is not
+        guaranteed — invalid slots are marked by weight == 0 / word -1.
+    weights: (S,) float32, L1-normalized over valid slots.
+    """
+
+    words: jnp.ndarray
+    weights: jnp.ndarray
 
 
 def _level_offset(k: int, l: int) -> int:
@@ -98,29 +128,124 @@ def _transform_bow(node_desc: jnp.ndarray, word_weight: jnp.ndarray,
     return bow / norm, words
 
 
-def transform(voc: Vocabulary, desc: jnp.ndarray,
-              valid: Optional[jnp.ndarray] = None,
-              use_pallas: bool = False
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """BowVector + word ids for one descriptor set (jitted).
+@partial(jax.jit, static_argnames=("L",))
+def _transform_words_tree(node_desc: jnp.ndarray, children: jnp.ndarray,
+                          leaf_word: jnp.ndarray, desc: jnp.ndarray,
+                          valid: jnp.ndarray, L: int) -> jnp.ndarray:
+    """General-tree descent (pruned DBoW trees with early leaves):
+    follow the explicit child table; a node with no children is a leaf
+    and descent parks there."""
+    N = desc.shape[0]
+    node = jnp.zeros((N,), jnp.int32)
+    for _ in range(L):
+        ch = children[node]                         # (N, k)
+        ok = ch >= 0
+        cdesc = node_desc[ch.clip(0)]               # (N, k, W)
+        d = hamming_packed(cdesc, desc[:, None, :])
+        d = jnp.where(ok, d, jnp.int32(1 << 30))
+        best = jnp.argmin(d, axis=-1)
+        nxt = jnp.take_along_axis(ch, best[:, None], 1)[:, 0]
+        node = jnp.where(ok.any(-1), nxt, node)
+    w = leaf_word[node]
+    return jnp.where(valid & (w >= 0), w, -1)
 
-    ``use_pallas`` routes the tree descent through the fused MXU kernel
-    (ops/pallas/vocab.py) when the node table fits VMEM."""
-    if valid is None:
-        valid = jnp.ones(desc.shape[0], bool)
+
+def transform_words(voc: Vocabulary, desc: jnp.ndarray,
+                    valid: jnp.ndarray,
+                    use_pallas: bool = False) -> jnp.ndarray:
+    """(N,) leaf word id per descriptor (-1 for invalid)."""
+    if voc.children is not None:
+        return _transform_words_tree(voc.node_desc, voc.children,
+                                     voc.leaf_word, desc, valid, voc.L)
     if use_pallas:
         from gslam_tpu.ops.pallas.vocab import (MAX_NODES,
                                                 transform_words_pallas)
 
         if voc.node_desc.shape[0] <= MAX_NODES:
-            words = transform_words_pallas(voc.node_desc, desc, valid,
-                                           voc.k, voc.L)
-            bow = jnp.zeros((voc.n_words,)).at[words.clip(0)].add(
-                jnp.where(valid, voc.word_weight[words.clip(0)], 0.0))
-            norm = jnp.maximum(jnp.abs(bow).sum(), 1e-12)
-            return bow / norm, words
+            return transform_words_pallas(voc.node_desc, desc, valid,
+                                          voc.k, voc.L)
+    return _transform_words(voc.node_desc, desc, valid, voc.k, voc.L)
+
+
+def transform(voc: Vocabulary, desc: jnp.ndarray,
+              valid: Optional[jnp.ndarray] = None,
+              use_pallas: bool = False
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense BowVector + word ids for one descriptor set (jitted).
+
+    Dense (n_words,) output — fine for small/test vocabularies; use
+    :func:`transform_sparse` at real vocabulary scale.
+    ``use_pallas`` routes the tree descent through the fused MXU kernel
+    (ops/pallas/vocab.py) when the node table fits VMEM."""
+    if valid is None:
+        valid = jnp.ones(desc.shape[0], bool)
+    if voc.children is not None or use_pallas:
+        words = transform_words(voc, desc, valid, use_pallas=use_pallas)
+        bow = jnp.zeros((voc.n_words,)).at[words.clip(0)].add(
+            jnp.where(valid & (words >= 0),
+                      voc.word_weight[words.clip(0)], 0.0))
+        norm = jnp.maximum(jnp.abs(bow).sum(), 1e-12)
+        return bow / norm, words
     return _transform_bow(voc.node_desc, voc.word_weight, desc, valid,
                           voc.k, voc.L)
+
+
+@jax.jit
+def _sparsify_words(words: jnp.ndarray, w: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dedup (word, weight) pairs: sort by word, sum runs, L1-norm."""
+    S = words.shape[0]
+    sent = jnp.int32(2 ** 30)                # sorts after any word id
+    key = jnp.where(words >= 0, words, sent)
+    order = jnp.argsort(key)
+    sw = key[order]
+    ww = jnp.where(words >= 0, w, 0.0)[order]
+    first = (sw != jnp.roll(sw, 1)) | (jnp.arange(S) == 0)
+    seg = jnp.cumsum(first) - 1              # run id per slot
+    sums = jnp.zeros((S,)).at[seg].add(ww)
+    out_w = jnp.where(first & (sw < sent), sums[seg], 0.0)
+    out_words = jnp.where(out_w > 0, sw, -1)
+    norm = jnp.maximum(out_w.sum(), 1e-12)
+    return out_words.astype(jnp.int32), out_w / norm
+
+
+def transform_sparse(voc: Vocabulary, desc: jnp.ndarray,
+                     valid: Optional[jnp.ndarray] = None,
+                     use_pallas: bool = False
+                     ) -> Tuple[SparseBow, jnp.ndarray]:
+    """SparseBow + per-descriptor word ids.  O(S) memory regardless of
+    vocabulary size — the scalable replacement for :func:`transform`."""
+    if valid is None:
+        valid = jnp.ones(desc.shape[0], bool)
+    words = transform_words(voc, desc, valid, use_pallas=use_pallas)
+    w = jnp.where(valid & (words >= 0),
+                  voc.word_weight[words.clip(0)], 0.0)
+    sw, swt = _sparsify_words(words, w)
+    return SparseBow(sw, swt), words
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def _score_l1_sparse(q_words, q_weights, db_words, db_weights, n_words):
+    qd = jnp.zeros((n_words,)).at[q_words.clip(0)].add(
+        jnp.where(q_words >= 0, q_weights, 0.0))
+    g = qd[db_words.clip(0)]                      # (F, S) gather
+    g = jnp.where(db_words >= 0, g, 0.0)
+    return jnp.minimum(g, db_weights).sum(-1)
+
+
+def score_l1_sparse(q: SparseBow, db_words: jnp.ndarray,
+                    db_weights: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """DBoW L1 score of one SparseBow vs a sparse database.
+
+    Exact: for L1-normalized non-negative vectors the DBoW2 score
+    1 - 0.5|a-b|_1 equals the sum of elementwise min over COMMON words,
+    so scattering the query into a transient dense (n_words,) vector
+    (4 MB at 10^6 words — per query, not per frame) and gathering at
+    the database's word slots computes it with one gather + row-sum.
+    Cost: O(F*S) gathers — independent of vocabulary size.
+    """
+    return _score_l1_sparse(q.words, q.weights, jnp.asarray(db_words),
+                            jnp.asarray(db_weights), n_words)
 
 
 def score_l1(bow_a: jnp.ndarray, bow_db: jnp.ndarray) -> jnp.ndarray:
@@ -298,6 +423,95 @@ def save_dbow3_text(voc: Vocabulary, path: str) -> None:
                          + f" {w}")
     with open(path, "w") as f:
         f.write("\n".join(lines))
+
+
+_DBOW2_REC = np.dtype([("parent", "<i4"), ("desc", "u1", (32,)),
+                       ("weight", "<f4"), ("leaf", "u1")])  # 41 bytes
+
+
+def save_dbow2_binary(voc: Vocabulary, path: str) -> None:
+    """Write the ORB-SLAM community binary vocabulary format (the
+    ``saveToBinaryFile`` patch used to ship ORBvoc.bin): header
+    [nb_nodes u32, size_node u32, k i32, L i32], then one 41-byte
+    record per non-root node in node-id order: parent i32, 32
+    descriptor bytes, weight f32, is_leaf u8.  Reference analog:
+    ``GSLAM/core/Vocabulary.h`` binary save/load (DBoW2-compatible)."""
+    nd = np.ascontiguousarray(np.asarray(voc.node_desc, np.uint32))
+    ww = np.asarray(voc.word_weight, np.float32)
+    n_nodes = nd.shape[0]
+    rec = np.zeros(n_nodes - 1, _DBOW2_REC)
+    if voc.children is not None:
+        ch = np.asarray(voc.children)
+        lw = np.asarray(voc.leaf_word)
+        pid = np.repeat(np.arange(n_nodes, dtype=np.int32), ch.shape[1])
+        cid = ch.ravel()
+        parent = np.full(n_nodes, -1, np.int32)
+        parent[cid[cid >= 0]] = pid[cid >= 0]
+        rec["parent"] = parent[1:]
+        rec["leaf"] = (lw[1:] >= 0).astype(np.uint8)
+        rec["weight"] = np.where(lw[1:] >= 0, ww[lw[1:].clip(0)], 0.0)
+    else:
+        k, L = voc.k, voc.L
+        for l in range(1, L + 1):
+            off = _level_offset(voc.k, l)
+            n = k ** l
+            idx = np.arange(n)
+            rec["parent"][off - 1 + idx] = \
+                (_level_offset(k, l - 1) + idx // k) if l > 1 else 0
+            rec["leaf"][off - 1 + idx] = 1 if l == L else 0
+            if l == L:
+                rec["weight"][off - 1 + idx] = ww[idx]
+    rec["desc"] = nd[1:].view(np.uint8).reshape(n_nodes - 1, -1)
+    with open(path, "wb") as f:
+        np.asarray([n_nodes, _DBOW2_REC.itemsize], np.uint32).tofile(f)
+        np.asarray([voc.k, voc.L], np.int32).tofile(f)
+        rec.tofile(f)
+
+
+def load_dbow2_binary(path: str) -> Vocabulary:
+    """Load an ORB-SLAM-style binary vocabulary (see save_dbow2_binary).
+
+    Handles pruned trees (clusters smaller than k become early leaves):
+    the result carries an explicit ``children`` table and per-node
+    ``leaf_word`` ids, and transform uses the general-tree descent.
+    Word ids are assigned to leaves in node-id order, matching DBoW2's
+    ``createWords``."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    n_nodes, size_node = np.frombuffer(buf, np.uint32, 2, 0)
+    k, L = (int(x) for x in np.frombuffer(buf, np.int32, 2, 8))
+    n_nodes = int(n_nodes)
+    if int(size_node) != _DBOW2_REC.itemsize:
+        raise ValueError(
+            f"unsupported DBoW2 binary node size {int(size_node)} "
+            f"(expected {_DBOW2_REC.itemsize}: ORB 32-byte descriptors)")
+    rec = np.frombuffer(buf, _DBOW2_REC, n_nodes - 1, 16)
+    desc_bytes = np.concatenate(
+        [np.zeros((1, 32), np.uint8), rec["desc"]])
+    nd = np.ascontiguousarray(desc_bytes).view(np.uint32)
+    # vectorized child-table build (load speed is the reference
+    # Vocabulary's headline): stable-sort nodes by parent, rank within
+    # each parent group = child slot
+    children = np.full((n_nodes, k), -1, np.int32)
+    parents = rec["parent"].astype(np.int64)
+    order = np.argsort(parents, kind="stable")
+    p_sorted = parents[order]
+    first = np.r_[True, p_sorted[1:] != p_sorted[:-1]]
+    grp_start = np.maximum.accumulate(
+        np.where(first, np.arange(len(p_sorted)), 0))
+    rank = np.arange(len(p_sorted)) - grp_start
+    if len(rank) and rank.max() >= k:
+        raise ValueError("node with more than k children")
+    children[p_sorted, rank] = order.astype(np.int32) + 1
+    is_leaf = np.concatenate([[0], rec["leaf"]]).astype(bool)
+    leaf_word = np.full(n_nodes, -1, np.int32)
+    leaf_word[is_leaf] = np.arange(int(is_leaf.sum()), dtype=np.int32)
+    ww = np.zeros(int(is_leaf.sum()), np.float32)
+    ww[leaf_word[1:][is_leaf[1:]]] = rec["weight"][is_leaf[1:]]
+    return Vocabulary(node_desc=jnp.asarray(nd),
+                      word_weight=jnp.asarray(ww), k=k, L=L,
+                      children=jnp.asarray(children),
+                      leaf_word=jnp.asarray(leaf_word))
 
 
 def load_dbow3_text(path: str) -> Vocabulary:

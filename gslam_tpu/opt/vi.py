@@ -261,7 +261,9 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         dgrav = dx[9 * C + 6:]
         # landmark back-substitution (vision pieces only); frozen along
         # with poses during warm-start
-        Wt_dxc = (Wf.T @ dx[:6 * C]).reshape(P, 3)
+        from gslam_tpu.opt.ba import schur_wt_dxc
+
+        Wt_dxc = schur_wt_dxc(Wf, dx[:6 * C])
         dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + Wt_dxc)
         dxp = dxp * pt_free[:, None] * poses_free
 

@@ -132,6 +132,118 @@ class TestPersistence:
                                    np.asarray(voc.word_weight), atol=1e-5)
 
 
+class TestSparseBow:
+    def test_sparse_matches_dense(self, voc, corpus):
+        from gslam_tpu.ops.vocab import (score_l1_sparse, transform_sparse)
+
+        desc, _ = corpus
+        d1 = jnp.asarray(desc[:40])
+        d2 = jnp.asarray(desc[40:80])
+        b1, w1 = transform(voc, d1)
+        b2, w2 = transform(voc, d2)
+        s1, sw1 = transform_sparse(voc, d1)
+        s2, sw2 = transform_sparse(voc, d2)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(sw1))
+        dense = float(score_l1(b1, b2[None])[0])
+        sparse = float(score_l1_sparse(
+            s1, np.asarray(s2.words)[None], np.asarray(s2.weights)[None],
+            voc.n_words)[0])
+        assert abs(dense - sparse) < 1e-5
+
+    def test_sparse_normalized_and_deduped(self, voc, corpus):
+        from gslam_tpu.ops.vocab import transform_sparse
+
+        desc, _ = corpus
+        sb, _ = transform_sparse(voc, jnp.asarray(desc[:60]))
+        w = np.asarray(sb.weights)
+        words = np.asarray(sb.words)
+        assert abs(w.sum() - 1.0) < 1e-5
+        live = words[words >= 0]
+        assert len(np.unique(live)) == len(live)  # deduped
+
+    def test_million_word_scale(self):
+        """Real-vocabulary scale (k=10, L=6 -> 10^6 words): the sparse
+        database + scoring path must run under a sane memory budget.
+        The round-2 dense design needed n_words*4 bytes per keyframe
+        (4 MB/KF, 128 MB at cap 32); the sparse DB is capped at
+        S*8 = 4 KB/KF regardless of vocabulary size."""
+        from gslam_tpu.models.loop_closure import LoopCloser
+
+        k, L = 10, 6
+        n_nodes = (k ** (L + 1) - 1) // (k - 1)
+        rng = np.random.default_rng(0)
+        nd = rng.integers(0, 2**32, (n_nodes, 8), dtype=np.uint64) \
+            .astype(np.uint32)
+        voc = Vocabulary(jnp.asarray(nd),
+                         jnp.asarray(np.ones(k ** L, np.float32)), k, L)
+        lc = LoopCloser(voc, cap_frames=32)
+        for i in range(4):
+            d = rng.integers(0, 2**32, (128, 8), dtype=np.uint64) \
+                .astype(np.uint32)
+            lc.add_keyframe(i, jnp.asarray(d), jnp.ones(128, bool))
+        s = lc.query(lc.bow_of(3))
+        assert int(np.argmax(s)) == 3 and s[3] > 0.99  # self-match
+        db_bytes = lc.bow_words.nbytes + lc.bow_weights.nbytes
+        assert db_bytes < 2**20  # < 1 MB at cap 32 (dense: 128 MB)
+
+
+class TestDBoW2Binary:
+    def test_roundtrip_complete_tree(self, voc, tmp_path, corpus):
+        from gslam_tpu.ops.vocab import (load_dbow2_binary,
+                                         save_dbow2_binary)
+
+        p = str(tmp_path / "orbvoc.bin")
+        save_dbow2_binary(voc, p)
+        v2 = load_dbow2_binary(p)
+        assert v2.k == voc.k and v2.L == voc.L
+        assert v2.children is not None  # general-tree layout
+        desc, _ = corpus
+        _, w1 = transform(voc, jnp.asarray(desc[:30]))
+        _, w2 = transform(v2, jnp.asarray(desc[:30]))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_allclose(np.asarray(v2.word_weight),
+                                   np.asarray(voc.word_weight), atol=1e-6)
+
+    def test_pruned_tree_early_leaves(self, tmp_path):
+        """A DBoW tree where one branch ends early (cluster smaller
+        than k): descent must park at the early leaf and report its
+        word id, matching DBoW2's isLeaf() semantics."""
+        from gslam_tpu.ops.vocab import (load_dbow2_binary,
+                                         save_dbow2_binary, transform_words)
+
+        # hand-build: k=2, L=2; node1 is an EARLY leaf, node2 has two
+        # leaf children.  nodes: 0=root, 1(leaf,word0), 2, 3(word1),
+        # 4(word2)
+        nd = np.zeros((5, 8), np.uint32)
+        nd[1] = 0x00000000
+        nd[2] = 0xFFFFFFFF
+        nd[3] = 0xFFFFFFFF
+        nd[4] = 0xFFFF0000
+        children = np.full((5, 2), -1, np.int32)
+        children[0] = [1, 2]
+        children[2] = [3, 4]
+        leaf_word = np.asarray([-1, 0, -1, 1, 2], np.int32)
+        voc = Vocabulary(jnp.asarray(nd),
+                         jnp.asarray(np.ones(3, np.float32)), 2, 2,
+                         children=jnp.asarray(children),
+                         leaf_word=jnp.asarray(leaf_word))
+        q = np.zeros((3, 8), np.uint32)
+        q[1] = 0xFFFFFFFF
+        # 20 bits/word: nearer node2 (32-bit) than node1 (0-bit) at the
+        # root, nearer node4 (16-bit) than node3 (32-bit) at the leaves
+        q[2] = 0xFFFFF000
+        w = np.asarray(transform_words(voc, jnp.asarray(q),
+                                       jnp.ones(3, bool)))
+        np.testing.assert_array_equal(w, [0, 1, 2])
+        # binary roundtrip preserves the pruned structure
+        p = str(tmp_path / "pruned.bin")
+        save_dbow2_binary(voc, p)
+        v2 = load_dbow2_binary(p)
+        w2 = np.asarray(transform_words(v2, jnp.asarray(q),
+                                        jnp.ones(3, bool)))
+        np.testing.assert_array_equal(w2, [0, 1, 2])
+
+
 class TestWordGatedMatching:
     def test_gate_restricts_to_same_node(self, rng):
         from gslam_tpu.ops.matching import (match_descriptors,
