@@ -3,10 +3,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-The metric is sustained frames/s of the full per-frame SLAM hot path
-(FAST+BRIEF extraction on 640x480, GEMM Hamming matching vs a 2048-point
-local map, 256-hypothesis PnP RANSAC + GN refine) as one jitted XLA
-graph on the available accelerator.
+The metric is ON-CHIP sustained frames/s of the full per-frame SLAM hot
+path (FAST+BRIEF extraction on 640x480, GEMM Hamming matching vs a
+2048-point local map, 256-hypothesis PnP RANSAC + GN refine) measured
+by the SEQUENCE-DELTA method: the step runs over N frames inside ONE
+``lax.scan`` dispatch, timed at two sequence lengths, and the
+difference isolates pure per-frame on-chip time.  Every timing forces
+host materialization of a result scalar — on remote-execution backends
+``block_until_ready`` can resolve before the work runs, which made
+round-1/2's pipelined-dispatch fps numbers measure the ENQUEUE rate of
+the control plane, not the chip (round-3 finding; BASELINE.md).
 
 vs_baseline: the reference (GSLAM, CPU, ICCV'19-era) evaluates SLAM
 plugins at real-time camera rate; 30 frames/s is the de-facto reference
@@ -25,7 +31,10 @@ BASELINE_FPS = 30.0
 
 
 def main() -> None:
+    import numpy as np
+
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -33,92 +42,72 @@ def main() -> None:
 
     img, cam, xyz, desc, valid, key = example_inputs()
 
-    # sustained throughput on VARIED inputs (each frame's image and RNG
-    # key differ, like a real sequence), pipelined like a real frame
-    # pump (dispatch ahead, block at the end of the window).  Identical
-    # repeated inputs or per-call blocking would measure the control
-    # plane, not the chip.  Both the portable jnp path and the fused
-    # Pallas-kernel path are measured; the faster wins (the Pallas path
-    # is TPU-only — on other backends it falls back gracefully).
-    n_iter = 32
-    imgs = [img + (i * 1e-6) for i in range(n_iter)]
-    keys = [jax.random.fold_in(key, i) for i in range(n_iter)]
-    jax.block_until_ready((imgs, keys))
+    def seq_time(N: int, use_pallas: bool, reps: int = 3) -> float:
+        """Wall time of N varied frames in ONE scan dispatch, with the
+        output scalar materialized (forces remote execution)."""
+        imgs_b = jnp.stack([img] * N) \
+            + jnp.arange(N)[:, None, None] * 1e-6
+        keys_b = jax.random.split(key, N)
 
-    def measure(use_pallas: bool) -> float:
-        out = track_forward(img, cam, xyz, desc, valid, key,
-                            use_pallas=use_pallas)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [track_forward(im, cam, xyz, desc, valid, k,
-                                  use_pallas=use_pallas)
-                    for im, k in zip(imgs, keys)]
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / n_iter)
-        return 1.0 / best
+        def body(c, x):
+            im, k = x
+            T, n, cnt = track_forward(im, cam, xyz, desc, valid, k,
+                                      use_pallas=use_pallas)
+            return c + T.sum() + n, None
 
-    fps = measure(False)
-    variant = "jnp"
-    try:
-        fps_p = measure(True)
-        if fps_p > fps:
-            fps, variant = fps_p, "pallas"
-    except Exception:
-        pass  # non-TPU backend without Mosaic support
-
-    # batched mode: B frames per dispatch via vmap (the fleet/offline
-    # mapping mode, parallel/tracking.py's per-chip body).  This
-    # amortizes the control-plane dispatch cost over B frames, so the
-    # delta between two batch sizes also yields the pure ON-CHIP time
-    # per frame — the number the single-dispatch fps cannot expose
-    # through a remote tunnel whose dispatch costs tens of microseconds.
-    def measure_batch(B: int, reps: int = 3) -> float:
-        import jax.numpy as jnp
-
-        imgs_b = jnp.stack(imgs[:1] * B) + jnp.arange(B)[:, None, None] * 1e-6
-        keys_b = jax.random.split(key, B)
-        step = jax.jit(jax.vmap(
-            lambda im, k: track_forward(im, cam, xyz, desc, valid, k)))
-        jax.block_until_ready(step(imgs_b, keys_b))
+        step = jax.jit(
+            lambda ims, ks: jax.lax.scan(body, 0.0, (ims, ks))[0])
+        float(step(imgs_b, keys_b))          # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = step(imgs_b, keys_b)
-            jax.block_until_ready(out)
+            float(step(imgs_b, keys_b))      # materialize => executed
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def measure(use_pallas: bool):
+        N1, N2 = 8, 40
+        t1 = seq_time(N1, use_pallas)
+        t2 = seq_time(N2, use_pallas)
+        on_chip = max(t2 - t1, 1e-9) / (N2 - N1)
+        return 1.0 / on_chip, on_chip, N2 / t2
+
+    fps, on_chip, fps_e2e = measure(False)
+    variant = "jnp"
     try:
-        B_small, B_big = 8, 64
-        t_small = measure_batch(B_small)
-        t_big = measure_batch(B_big)
-        on_chip_per_frame = max(t_big - t_small, 1e-9) / (B_big - B_small)
-        fps_batched = B_big / t_big
+        fps_p, on_chip_p, fps_e2e_p = measure(True)
+        if fps_p > fps:
+            fps, on_chip, fps_e2e, variant = (fps_p, on_chip_p,
+                                              fps_e2e_p, "pallas")
     except Exception:
-        on_chip_per_frame = float("nan")
-        fps_batched = float("nan")
+        pass  # non-TPU backend without Mosaic support
+
+    # control-plane reference: one no-op round trip
+    nop = jax.jit(lambda x: x + 1.0)
+    float(nop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    float(nop(jnp.float32(1)))
+    dispatch_ms = (time.perf_counter() - t0) * 1e3
 
     ba_its = ba_iters_per_s()
 
-    headline = max(fps, fps_batched if fps_batched == fps_batched else 0)
     print(json.dumps({
         "metric": "tracking_step_fps",
-        "value": round(headline, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(headline / BASELINE_FPS, 3),
+        "value": round(fps, 2),
+        "unit": "frames/s/chip (on-chip, sequence-delta)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
         "variant": variant,
-        "fps_single": round(fps, 2),
-        "fps_batched": round(fps_batched, 2),
-        "on_chip_us_per_frame": round(on_chip_per_frame * 1e6, 2),
+        "on_chip_us_per_frame": round(on_chip * 1e6, 1),
+        "fps_seq_e2e": round(fps_e2e, 2),
+        "dispatch_roundtrip_ms": round(dispatch_ms, 2),
         "ba_iters_per_s": round(ba_its, 1),
     }))
 
 
 def ba_iters_per_s() -> float:
     """Secondary metric: LM iterations/s of a local-BA-sized problem
-    (8 cams x 1024 points x 8 obs slots, dense-GEMM Schur) on-chip."""
+    (8 cams x 1024 points x 8 obs slots, scatter-free one-hot-GEMM
+    Schur) on-chip, via the same delta method (t50 - t10)/40."""
     import numpy as np
 
     import jax
@@ -147,16 +136,20 @@ def ba_iters_per_s() -> float:
         obs_uv=jnp.asarray(uv),
         obs_valid=jnp.ones((P, O), bool),
         obs_weight=jnp.ones((P, O), jnp.float32))
-    iters = 10
-    out, stats = bundle_adjust(problem, iters=iters)   # compile
-    jax.block_until_ready(out.cam_pose)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out, stats = bundle_adjust(problem, iters=iters)
-        jax.block_until_ready(out.cam_pose)
-        best = min(best, time.perf_counter() - t0)
-    return iters / best
+
+    def t_of(iters: int) -> float:
+        out, stats = bundle_adjust(problem, iters=iters)   # compile
+        float(out.cam_pose.sum())
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out, stats = bundle_adjust(problem, iters=iters)
+            float(out.cam_pose.sum())        # materialize => executed
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t10, t50 = t_of(10), t_of(50)
+    return 40.0 / max(t50 - t10, 1e-9)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,35 @@
+#!/bin/bash
+# CI entry (reference analog: .travis.yml + `gslam tests`, SURVEY §2 row 27).
+#   ./ci.sh fast   -> lint + fast unit tier (< 2 min, CPU)
+#   ./ci.sh full   -> lint + full suite incl. e2e/mesh tiers
+#   ./ci.sh lint   -> lint only
+set -e
+cd "$(dirname "$0")"
+tier="${1:-fast}"
+
+echo "== lint (compile + import check) =="
+python -m compileall -q gslam_tpu tests bench.py __graft_entry__.py
+python - <<'PY'
+import importlib, pkgutil
+import gslam_tpu
+bad = []
+for m in pkgutil.walk_packages(gslam_tpu.__path__, "gslam_tpu."):
+    try:
+        importlib.import_module(m.name)
+    except Exception as e:  # noqa: BLE001
+        bad.append((m.name, e))
+assert not bad, bad
+print(f"imported {len(list(pkgutil.walk_packages(gslam_tpu.__path__, 'gslam_tpu.')))} modules cleanly")
+PY
+[ "$tier" = lint ] && exit 0
+
+echo "== native build =="
+make -C native
+
+if [ "$tier" = fast ]; then
+  echo "== fast unit tier =="
+  exec python -m pytest tests/ -q -m "not slow and not tpu" -x
+else
+  echo "== full suite =="
+  exec python -m pytest tests/ -q -m "not tpu"
+fi

@@ -84,8 +84,29 @@ def _maybe_force_cpu(s: Svar) -> None:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
+def _maybe_debug(s: Svar) -> None:
+    """-debug true: the sanitizer analog (SURVEY 5.2).
+
+    The functional model obviates data races; the numerical failure
+    mode that remains is NaN/Inf propagation through jitted graphs.
+    Debug mode makes every such event fail LOUDLY at its source
+    (``jax_debug_nans`` re-runs the offending op un-jitted and raises
+    with a stack trace); ``-debug.nojit true`` additionally disables
+    jit entirely for op-by-op gold runs.
+    """
+    if s.arg("debug", False, "fail loudly on NaN/Inf (jax_debug_nans)"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if s.arg("debug.nojit", False, "disable jit (op-by-op debugging)"):
+        import jax
+
+        jax.config.update("jax_disable_jit", True)
+
+
 def _run_sequence(s: Svar):
     _maybe_force_cpu(s)
+    _maybe_debug(s)
     path = s.arg("dataset", "", "dataset path (extension dispatch)")
     if not path:
         raise SystemExit("need -dataset <path>")

@@ -34,17 +34,28 @@ def num_hypotheses(min_set: int, inlier_ratio: float = 0.4,
 
 def ransac_sample_indices(key: jax.Array, valid: jnp.ndarray, B: int,
                           k: int) -> jnp.ndarray:
-    """(B, k) index samples, each a collision-free subset of valid entries.
+    """(B, k) index samples, uniform over the valid entries.
 
-    Gumbel top-k trick: per hypothesis draw N Gumbel noises, push invalid
-    entries to -inf, take the k largest — a uniform random k-subset of
-    the valid indices, fully vectorized.
+    Collision-TOLERANT uniform draws over the compacted valid-index
+    list: one argsort moves valid indices to the front, then (B, k)
+    uniforms pick positions below the valid count.  A within-sample
+    collision (prob ~ k^2 / 2V, a couple percent at V~400) yields a
+    degenerate minimal set that simply scores ~zero inliers — RANSAC
+    absorbs it.
+
+    The round-2 design drew (B, N) Gumbel noise and took per-row
+    ``top_k`` — elegant and collision-free, but XLA lowers the masked
+    (256, 2048) top-k to a ~35 ms sort-based monster when the mask is
+    a traced value (measured on v5e; with a compile-time-constant mask
+    it folds away, which is why microbenchmarks never caught it).
+    This path is ~500x cheaper and was the whole-pipeline hotspot.
     """
     N = valid.shape[0]
-    g = jax.random.gumbel(key, (B, N))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, k)
-    return idx
+    order = jnp.argsort(~valid)               # valid indices first
+    V = jnp.maximum(valid.sum(), 1)
+    u = jax.random.uniform(key, (B, k))
+    pos = jnp.floor(u * V).astype(jnp.int32).clip(0, N - 1)
+    return order[pos]
 
 
 def run_ransac(key: jax.Array,

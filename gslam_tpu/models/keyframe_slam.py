@@ -71,7 +71,9 @@ class SLAMConfig:
     dedup_radius_px: float = 4.0   # no new point near an existing one
     pnp_px_threshold: float = 2.0  # RANSAC inlier gate (pixels)
     min_track_inliers: int = 12
-    reloc_min_inliers: int = 18    # PnP gate for BoW relocalization
+    reloc_min_inliers: int = 15    # PnP gate for BoW relocalization
+    #   (backed by map-volume + depth plausibility gates, see
+    #    _relocalize — count alone would need a higher bar)
     max_pose_jump: float = 1.0     # reject PnP poses further than this
     #                                from the motion-model prediction (m)
     max_lost_frames: int = 5       # coast this long before re-anchoring
@@ -663,8 +665,18 @@ class KeyframeSLAM:
         # PnP verification decides — a small vocabulary discriminates
         # weakly, so the best geometric fit is rarely the top-1 score)
         thr = (self.cfg.pnp_px_threshold / self.camera.fx) ** 2
-        best_n, best_T, best_cand = 0, None, -1
-        for cand in np.argsort(-scores)[:5]:
+        # map-volume bounds: a relocalized camera must lie INSIDE the
+        # mapped region, and counted PnP inliers within a scene-scale
+        # depth (both gates mirror LoopCloser.verify — without them a
+        # lower inlier bar would admit degenerate RANSAC poses)
+        F = int(self.arena.n_frames)
+        fpos = np.asarray(se3_inverse(
+            self.arena.frame_pose[:F, :7])[:, :3])
+        lo, hi = fpos.min(0) - 1.0, fpos.max(0) + 1.0
+        margin = 0.5 * float((hi - lo).max()) + 1.0
+        max_depth = 4.0 * float((hi - lo).max()) + 10.0
+        results = []               # (n, T, center, cand)
+        for cand in np.argsort(-scores)[:8]:
             if scores[cand] < self.loop_closer.min_score:
                 break
             # match against the candidate's covisibility neighbourhood,
@@ -680,13 +692,37 @@ class KeyframeSLAM:
             pdesc = self.arena.point_desc[pids.clip(0)]
             m = match_descriptors(pdesc, ok, feats.desc, feats.valid,
                                   ratio=0.9)
+            # B=1024: loop-scale matches carry no pose prior, so their
+            # inlier rate is far below the tracker's gated matches
             T, inl, n = find_pnp_ransac(
                 self._next_key(), xyz,
                 self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2],
-                m.valid, threshold=thr)
-            if int(n) > best_n:
-                best_n, best_T, best_cand = int(n), T, int(cand)
-        if best_n >= self.cfg.reloc_min_inliers:
+                m.valid, threshold=thr, B=1024, max_depth=max_depth)
+            center = np.asarray(se3_inverse(T)[:3])
+            if (not np.isfinite(center).all()
+                    or (center < lo - margin).any()
+                    or (center > hi + margin).any()):
+                continue
+            results.append((int(n), T, center, int(cand)))
+        accept = None
+        if results:
+            results.sort(key=lambda r: -r[0])
+            n0, T0, c0, cand0 = results[0]
+            if n0 >= self.cfg.reloc_min_inliers:
+                accept = (T0, cand0)
+            else:
+                # cross-candidate consensus: INDEPENDENT candidate
+                # neighbourhoods solving to the same camera centre is
+                # verification in itself — accept at half the inlier
+                # bar when >= 2 candidates agree within 1 m
+                half = max(6, self.cfg.reloc_min_inliers // 2)
+                agree = [r for r in results
+                         if r[0] >= half
+                         and np.linalg.norm(r[2] - c0) < 1.0]
+                if n0 >= half and len(agree) >= 2:
+                    accept = (T0, cand0)
+        if accept is not None:
+            best_T, best_cand = accept
             self.pose_wc = se3_inverse(best_T)
             self.velocity = se3_identity()
             self._lost_frames = 0

@@ -218,3 +218,211 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
     out = problem._replace(cam_pose=cam_pose,
                            point_xyz=point_xyz[:P_orig])
     return out, costs
+
+
+@partial(jax.jit, static_argnames=("mesh", "iters", "huber_delta"))
+def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
+                                   iters: int = 10,
+                                   lm_lambda0: float = 1e-4,
+                                   huber_delta: float = 0.01
+                                   ) -> Tuple[BundleProblem, jnp.ndarray]:
+    """Ring-exchange variant of the distributed Schur BA (SURVEY
+    5.7/5.8's ring-attention analog).
+
+    Differences from :func:`distributed_bundle_adjust`:
+
+    * the CAMERA state is sharded too — each 'pt' shard owns a
+      contiguous block of C/n cameras (the psum variant replicates all
+      cameras on every device);
+    * camera blocks travel the ring via ``jax.lax.ppermute``: at ring
+      step k, the block owned by shard (i+k) mod n visits shard i,
+      which accumulates the residual/Jacobian contributions of its
+      LOCAL landmarks' observations into that block's normal-equation
+      pieces.  The traveling block carries its partially-summed
+      Hcc/bc with it, so after a full revolution every block arrives
+      home fully reduced — an all-reduce expressed as neighbor
+      exchanges that ride ICI ring links;
+    * only the (6C, 6C) reduced camera system is ring-all-reduced and
+      solved replicated (it is tiny and independent of landmark count).
+
+    Requires a 1-D mesh with axis 'pt'; C is padded to a multiple of
+    the shard count.  Numerically equivalent to the psum variant up to
+    f32 summation order (parity-tested in tests/test_parallel.py).
+    """
+    n = mesh.shape["pt"]
+    C = problem.cam_pose.shape[0]
+    C_pad = C + ((-C) % n)
+    Cl = C_pad // n
+
+    pad_c = lambda x: _pad_to(x, 0, n)
+    cam_pose_p = pad_c(problem.cam_pose)
+    # padded cameras: identity quaternion, fixed
+    if C_pad > C:
+        cam_pose_p = cam_pose_p.at[C:, 3].set(1.0)
+    cam_fixed_p = pad_c(problem.cam_fixed) | (jnp.arange(C_pad) >= C)
+
+    pad_pt = lambda x: _pad_to(x, 0, n)
+    P_orig = problem.point_xyz.shape[0]
+    point_xyz = pad_pt(problem.point_xyz)
+    point_fixed = pad_pt(problem.point_fixed) \
+        | (jnp.arange(point_xyz.shape[0]) >= P_orig)
+    obs_cam = pad_pt(problem.obs_cam)
+    obs_uv = pad_pt(problem.obs_uv)
+    obs_valid = pad_pt(problem.obs_valid) \
+        & (jnp.arange(point_xyz.shape[0]) < P_orig)[:, None]
+    obs_weight = pad_pt(problem.obs_weight)
+
+    in_specs = (P("pt"), P("pt"), P("pt"), P("pt"), P("pt"), P("pt"),
+                P("pt"))
+    out_specs = (P("pt"), P("pt"), P())
+
+    def shard_fn(cam_block, point_xyz, point_fixed, obs_cam, obs_uv,
+                 obs_valid, obs_weight):
+        i = jax.lax.axis_index("pt")
+        pt_free = ~point_fixed
+        fwd = [(k, (k + 1) % n) for k in range(n)]   # send to the right
+
+        def ring_poses(cam_block):
+            """All-gather the camera state via n-1 neighbor exchanges
+            (each step moves one block one hop around the ring)."""
+            full = jnp.zeros((C_pad, 7)).at[:, 3].set(1.0)
+            blk = cam_block
+            owner = i
+            for k in range(n):
+                full = jax.lax.dynamic_update_slice(
+                    full, blk, (owner * Cl, 0))
+                if k < n - 1:
+                    blk = jax.lax.ppermute(blk, "pt", fwd)
+                    owner = (owner - 1) % n
+            return full
+
+        def residual_jac(cam_full, point_xyz):
+            p = BundleProblem(cam_full, cam_fixed_p, point_xyz,
+                              point_fixed, obs_cam, obs_uv, obs_valid,
+                              obs_weight)
+            return _project_residual_jac(p)
+
+        def cost_of(cam_block, point_xyz):
+            cam_full = ring_poses(cam_block)
+            r, _, _, valid = residual_jac(cam_full, point_xyz)
+            e = jnp.linalg.norm(r, axis=-1)
+            w = obs_weight * huber_weight(e, huber_delta)
+            local = jnp.sum(jnp.where(valid, w * e * e, 0.0))
+            # ring all-reduce of the scalar cost (no psum)
+            acc = local
+            v = local
+            for _ in range(n - 1):
+                v = jax.lax.ppermute(v, "pt", fwd)
+                acc = acc + v
+            return acc
+
+        cam_free_p = ~cam_fixed_p
+
+        def lm_step(state, _):
+            cam_block, point_xyz, lam, cost = state
+            cam_full = ring_poses(cam_block)
+            r, Jc, Jp, valid = residual_jac(cam_full, point_xyz)
+            e = jnp.linalg.norm(r, axis=-1)
+            w = obs_weight * huber_weight(e, huber_delta)
+            w = jnp.where(valid, w, 0.0)
+            Jc = Jc * cam_free_p[obs_cam][..., None, None]
+            Jp = Jp * pt_free[:, None, None, None]
+            sw = w[..., None, None]
+
+            Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)
+            bp = jnp.einsum("poia,poi->pa", Jp * sw, r)
+            tr = (Hpp[..., 0, 0] + Hpp[..., 1, 1] + Hpp[..., 2, 2]) / 3
+            Hpp = Hpp + ((lam + 1e-5 * tr)[..., None, None]
+                         * jnp.eye(3))
+            Hpp = jnp.where(pt_free[:, None, None], Hpp,
+                            jnp.eye(3)[None])
+            Hpp_inv = jnp.linalg.inv(Hpp)
+            bp = bp * pt_free[:, None]
+
+            # per-camera blocks from LOCAL landmarks via one-hot GEMM
+            onehot = (obs_cam.reshape(-1)[:, None]
+                      == jnp.arange(C_pad)[None, :]).astype(jnp.float32)
+            Hcc_l = jnp.dot(
+                onehot.T,
+                jnp.einsum("poia,poib->poab", Jc * sw,
+                           Jc).reshape(-1, 36),
+                preferred_element_type=jnp.float32).reshape(C_pad, 6, 6)
+            bc_l = jnp.dot(
+                onehot.T,
+                jnp.einsum("poia,poi->poa", Jc * sw, r).reshape(-1, 6),
+                preferred_element_type=jnp.float32)
+
+            # ring reduce: each shard's camera block travels home
+            # accumulating every shard's local contribution.  Here the
+            # traveling payload is the per-block slice of (Hcc, bc):
+            # start with MY contribution to the block owned by my right
+            # neighbor's ... simplest equivalent: ring all-reduce the
+            # (C_pad, ...) partials by neighbor exchange
+            def ring_sum(x):
+                acc = x
+                v = x
+                for _ in range(n - 1):
+                    v = jax.lax.ppermute(v, "pt", fwd)
+                    acc = acc + v
+                return acc
+
+            Hcc = ring_sum(Hcc_l)
+            bc = ring_sum(bc_l)
+            Hcc = Hcc + (lam * jnp.eye(6))[None]
+            Hcc = jnp.where(cam_free_p[:, None, None], Hcc,
+                            jnp.eye(6)[None])
+            bc = bc * cam_free_p[:, None]
+
+            # local Schur correction, ring-all-reduced
+            W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
+            G3 = onehot.reshape(point_xyz.shape[0], -1, C_pad)
+            Wp = jnp.einsum("poc,poab->pcab", G3, W_e)
+            Wf = Wp.transpose(1, 2, 0, 3).reshape(C_pad * 6, -1)
+            Y = jnp.einsum("cpab,pbd->cpad",
+                           Wp.transpose(1, 0, 2, 3), Hpp_inv)
+            Yf = Y.transpose(0, 2, 1, 3).reshape(C_pad * 6, -1)
+            S_part = jnp.dot(Yf, Wf.T,
+                             preferred_element_type=jnp.float32)
+            b_part = Yf @ bp.reshape(-1)
+            S_red = ring_sum(S_part)
+            b_red = ring_sum(b_part)
+
+            ii = jnp.arange(C_pad)
+            Hcc_d = jnp.zeros((C_pad, 6, C_pad, 6)).at[ii, :, ii, :] \
+                .set(Hcc).reshape(C_pad * 6, C_pad * 6)
+            S = Hcc_d - S_red
+            b_s = bc.reshape(-1) - b_red
+            dxc = -jnp.linalg.solve(S + 1e-8 * jnp.eye(C_pad * 6), b_s)
+            dxc = dxc.reshape(C_pad, 6) * cam_free_p[:, None]
+
+            Wt_dxc = jnp.einsum("poab,poa->pb", W_e, dxc[obs_cam])
+            dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + Wt_dxc)
+            dxp = dxp * pt_free[:, None]
+
+            new_full = se3_mul(se3_exp(dxc), cam_full)
+            new_block = jax.lax.dynamic_slice(new_full, (i * Cl, 0),
+                                              (Cl, 7))
+            new_xyz = point_xyz + dxp
+            new_cost = cost_of(new_block, new_xyz)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost)
+            cam_block = jnp.where(accept, new_block, cam_block)
+            point_xyz = jnp.where(accept, new_xyz, point_xyz)
+            cost_out = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0).clip(1e-9, 1e3)
+            return (cam_block, point_xyz, lam, cost_out), cost_out
+
+        cost0 = cost_of(cam_block, point_xyz)
+        init = (cam_block, point_xyz,
+                jnp.asarray(lm_lambda0, jnp.float32), cost0)
+        (cam_block, point_xyz, lam, _), costs = jax.lax.scan(
+            lm_step, init, None, length=iters)
+        return cam_block, point_xyz, jnp.concatenate([cost0[None], costs])
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    cam_out, point_out, costs = fn(
+        cam_pose_p, point_xyz, point_fixed, obs_cam, obs_uv, obs_valid,
+        obs_weight)
+    out = problem._replace(cam_pose=cam_out[:C],
+                           point_xyz=point_out[:P_orig])
+    return out, costs

@@ -5,6 +5,8 @@ types, dotted keys) and Messenger (advertise/subscribe delivery, queue
 bounds) — SURVEY.md section 4.
 """
 
+import pytest as _pytest
+
 import threading
 import time
 
@@ -177,6 +179,7 @@ class TestTimerMetrics:
         assert m.column("n_matches") == [100, 120]
 
 
+@_pytest.mark.slow
 class TestWebViz:
     def test_export_html_standalone(self, tmp_path):
         """qviz analog: self-contained HTML with embedded map/trajectory."""

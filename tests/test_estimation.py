@@ -49,13 +49,21 @@ def make_scene(rng, n=100, outlier_frac=0.3):
 
 
 class TestSampling:
-    def test_no_collisions_and_valid_only(self, key):
+    def test_valid_only_and_low_collision_rate(self, key):
+        """The sampler draws uniform over valid entries; within-sample
+        collisions are TOLERATED (a degenerate minimal set scores zero
+        inliers) but must be rare — the collision-free Gumbel-top-k of
+        round 2 compiled to a ~35 ms masked sort on TPU and was the
+        whole tracking pipeline's hotspot."""
         valid = jnp.zeros(50, bool).at[jnp.arange(0, 50, 2)].set(True)
         idx = np.asarray(ransac_sample_indices(key, valid, B=64, k=8))
         assert idx.shape == (64, 8)
+        n_collide = 0
         for row in idx:
-            assert len(set(row.tolist())) == 8  # collision-free
+            n_collide += 8 - len(set(row.tolist()))
             assert all(i % 2 == 0 for i in row)  # only valid entries
+        # E[collisions/sample] ~ k(k-1)/2V = 1.12 here; allow 3x slack
+        assert n_collide <= 64 * 4
 
 
 class TestEssential:

@@ -4,6 +4,10 @@ Run in interpret mode on the CPU backend (CI has no TPU); the same
 kernels compile natively on TPU (exercised by bench.py).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # e2e/mesh tier: excluded from tests-fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,10 @@ single-device bundle_adjust to float tolerance, on 1D ('pt') and 2D
 ('pt' x 'obs') meshes, with non-divisible sizes exercising padding.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # e2e/mesh tier: excluded from tests-fast
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,3 +194,49 @@ class TestShardedTracking:
             assert int(n_feat[i]) == int(nf)
         # the step found real inlier sets (not degenerate)
         assert int(jnp.min(n_inl)) > 20
+
+
+class TestRingExchangeBA:
+    """Ring-exchange distributed BA (ppermute; SURVEY 5.7's
+    ring-attention analog): camera blocks sharded over the mesh and
+    rotated between neighbors instead of replicated + psum'd."""
+
+    def test_matches_single_device(self, rng):
+        from jax.sharding import Mesh
+
+        from gslam_tpu.parallel.dist_ba import \
+            distributed_bundle_adjust_ring
+
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs 8 cpu devices")
+        mesh = Mesh(np.array(devs[:8]), ("pt",))
+        prob, gt_poses, gt_X = make_ba_problem(
+            rng, C=6, P=64, O=4, pose_noise=0.02, point_noise=0.05)
+        out_r, costs_r = distributed_bundle_adjust_ring(prob, mesh,
+                                                        iters=8)
+        out_s, stats_s = bundle_adjust(prob, iters=8)
+        assert float(costs_r[-1]) < 1e-9
+        np.testing.assert_allclose(np.asarray(out_r.cam_pose),
+                                   np.asarray(out_s.cam_pose), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(costs_r),
+                                   np.asarray(stats_s.cost),
+                                   rtol=0.05, atol=1e-8)
+
+    def test_ppermute_in_jaxpr(self, rng):
+        """The ring variant must actually exchange via ppermute (this
+        is the VERDICT round-2 item's 'done' check)."""
+        from jax.sharding import Mesh
+
+        from gslam_tpu.parallel.dist_ba import \
+            distributed_bundle_adjust_ring
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs 4 cpu devices")
+        mesh = Mesh(np.array(devs[:4]), ("pt",))
+        prob, _, _ = make_ba_problem(rng, C=4, P=16, O=3)
+        jaxpr = jax.make_jaxpr(
+            lambda p: distributed_bundle_adjust_ring(p, mesh, iters=1))(
+            prob)
+        assert "ppermute" in str(jaxpr)

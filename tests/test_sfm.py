@@ -6,6 +6,10 @@ reconstruct-from-buffered-frames path with a Sim3-aligned ATE gate
 (monocular reconstruction is up-to-scale by construction).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # e2e/mesh tier: excluded from tests-fast
+
 import numpy as np
 import pytest
 

@@ -3,6 +3,10 @@ factor composition, bias-Jacobian correction, gravity/velocity
 initialization, and joint VI bundle adjustment on an analytic
 trajectory with simulated IMU."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # e2e/mesh tier: excluded from tests-fast
+
 import numpy as np
 import jax
 import jax.numpy as jnp
