@@ -85,6 +85,7 @@ class EuRoCDataset(Dataset):
             return False
         if self.cam is None:
             self.cam = Camera.from_fov(752, 480, 80.0)
+        self.camera = self.cam   # Dataset interface attribute
         self.root = root
         # camera-IMU extrinsics: rotate body-frame IMU samples into the
         # cam0 frame (the SLAM models assume body == camera).  The

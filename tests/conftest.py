@@ -22,7 +22,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gslam_jax_cache")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_device", jax.devices("cpu")[0])
+# the on-hardware tier (pytest -m tpu, GSLAM_TEST_ALLOW_TPU=1) must NOT
+# pin default placement to the CPU client — that is the whole point
+if not os.environ.get("GSLAM_TEST_ALLOW_TPU"):
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_threefry_partitionable", True)
 # XLA-CPU compiles are slow on this small host; cache everything across runs.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
