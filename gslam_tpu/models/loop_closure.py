@@ -231,7 +231,7 @@ class LoopCloser:
                 break
         if ver is None:
             return arena, False
-        T_loop_cw, _ = ver  # pose of kf_id implied by the loop
+        T_loop_cw, n_ver = ver  # pose of kf_id implied by the loop
         # fuse loop observations: current KF's keypoints now observe
         # the candidate neighbourhood's landmarks
         from gslam_tpu.map.arena import add_observations
@@ -254,7 +254,14 @@ class LoopCloser:
         ei.append(kf_id)
         ej.append(cand)
         rel.append(np.asarray(Z))
-        w.append(np.full(6, 50.0, np.float32))
+        # loop-edge information scales with VERIFICATION QUALITY
+        # relative to the unit-weight odometry edges: a marginal
+        # (10-20 inlier) closure pulls gently — enough to close real
+        # drift accumulated over a long odometry chain, not enough to
+        # inject its own pose error into an already-consistent map
+        # (a fixed 50x weight measurably WORSENED low-drift runs)
+        w_loop = float(np.clip(n_ver / 10.0, 0.5, 5.0))
+        w.append(np.full(6, w_loop, np.float32))
         if imu_edges:
             from gslam_tpu.core.imu import ImuDelta, imu_rotation_edge
 
