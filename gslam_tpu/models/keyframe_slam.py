@@ -55,7 +55,10 @@ class SLAMConfig:
     fast_threshold: float = 0.06
     n_levels: int = 1              # >1: pyramid (octave) extraction
     pyramid_scale: float = 1.25
-    use_pallas: bool = False       # fused TPU kernels in the frontend
+    use_pallas: Optional[bool] = None  # fused TPU kernels in the
+    #   frontend; None = auto (on for accelerator backends — the FAST
+    #   kernel measures 2x the jnp path on-chip by sequence-delta,
+    #   off for the CPU test backend where Mosaic is unavailable)
     local_map_size: int = 2048     # point slab handed to tracking
     ba_window: int = 8             # covisible KFs in local BA
     ba_points: int = 1024
@@ -106,6 +109,16 @@ class KeyframeSLAM:
         self.camera = camera
         self.cfg = config or SLAMConfig()
         c = self.cfg
+        if c.use_pallas is None:
+            import jax as _jax
+
+            # effective default placement, not the backend registry:
+            # the test env pins jax_default_device to the CPU client
+            # while an accelerator backend stays registered
+            dev = _jax.config.jax_default_device
+            plat = (dev.platform if dev is not None
+                    else _jax.devices()[0].platform)
+            c.use_pallas = plat != "cpu"
         self.loop_closer = None
         if vocabulary is not None:
             from gslam_tpu.models.loop_closure import LoopCloser
