@@ -54,7 +54,10 @@ def ransac_sample_indices(key: jax.Array, valid: jnp.ndarray, B: int,
     order = jnp.argsort(~valid)               # valid indices first
     V = jnp.maximum(valid.sum(), 1)
     u = jax.random.uniform(key, (B, k))
-    pos = jnp.floor(u * V).astype(jnp.int32).clip(0, N - 1)
+    # clip to V-1, not N-1: floor(u * V) rounds up to exactly V when u
+    # is within 1 ulp of 1.0, which would sample the first INVALID
+    # entry of the compacted order (round-3 advisor)
+    pos = jnp.floor(u * V).astype(jnp.int32).clip(0, V - 1)
     return order[pos]
 
 

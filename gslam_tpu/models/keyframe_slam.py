@@ -110,15 +110,12 @@ class KeyframeSLAM:
         self.cfg = config or SLAMConfig()
         c = self.cfg
         if c.use_pallas is None:
-            import jax as _jax
+            # Mosaic kernels lower ONLY on TPU: a CUDA/ROCm backend
+            # would crash on the first kernel launch, so the gate is
+            # `== "tpu"`, not merely "not cpu" (round-3 advisor)
+            from gslam_tpu.utils.platform import pallas_supported
 
-            # effective default placement, not the backend registry:
-            # the test env pins jax_default_device to the CPU client
-            # while an accelerator backend stays registered
-            dev = _jax.config.jax_default_device
-            plat = (dev.platform if dev is not None
-                    else _jax.devices()[0].platform)
-            c.use_pallas = plat != "cpu"
+            c.use_pallas = pallas_supported()
         self.loop_closer = None
         if vocabulary is not None:
             from gslam_tpu.models.loop_closure import LoopCloser
@@ -815,7 +812,13 @@ class KeyframeSLAM:
             if self.vi_ready and c.enable_vi_ba:
                 problem = self._vi_local_ba(problem, cam_ids)
             else:
-                problem, stats = bundle_adjust(problem, iters=c.ba_iters)
+                from gslam_tpu.opt.ba import resolve_ba_backend
+
+                backend = (resolve_ba_backend(problem)
+                           if c.use_pallas else "jnp")
+                problem, stats = bundle_adjust(problem,
+                                               iters=c.ba_iters,
+                                               backend=backend)
             self.arena = write_back_to_arena(self.arena, problem, cam_ids,
                                              point_ids)
             timer.block(self.arena)

@@ -77,6 +77,14 @@ class LoopCloser:
                      valid: jnp.ndarray) -> None:
         bow, _ = transform_sparse(self.voc, desc, valid,
                                   use_pallas=self.use_pallas)
+        # _sparsify_words compacts valid (word, weight) runs to the
+        # front, so truncating to the slab keeps the heaviest-possible
+        # prefix; distinct words per frame <= descriptor count, so the
+        # slab only binds when desc count > slots
+        if desc.shape[0] > self._slots:
+            raise ValueError(
+                f"descriptor capacity {desc.shape[0]} exceeds the "
+                f"{self._slots}-slot BoW slab; raise LoopCloser slots")
         S = self._slots
         n = min(S, bow.words.shape[0])
         self.bow_words[kf_id, :n] = np.asarray(bow.words[:n])

@@ -206,7 +206,12 @@ def _sparsify_words(words: jnp.ndarray, w: jnp.ndarray
     out_w = jnp.where(first & (sw < sent), sums[seg], 0.0)
     out_words = jnp.where(out_w > 0, sw, -1)
     norm = jnp.maximum(out_w.sum(), 1e-12)
-    return out_words.astype(jnp.int32), out_w / norm
+    # compact valid entries to the FRONT: run-starts are scattered over
+    # the first V slots, so a consumer truncating to a fixed slab
+    # (e.g. the loop-closure database's 512 slots) would silently drop
+    # distinct words and break L1 normalization (round-3 advisor)
+    comp = jnp.argsort(out_words < 0, stable=True)
+    return out_words[comp].astype(jnp.int32), out_w[comp] / norm
 
 
 def transform_sparse(voc: Vocabulary, desc: jnp.ndarray,

@@ -102,7 +102,10 @@ def _project_residual_jac(problem: BundleProblem
     dproj = jnp.stack([
         jnp.stack([iz, zero, -x * iz2], -1),
         jnp.stack([zero, iz, -y * iz2], -1)], -2)      # (P, O, 2, 3)
-    Jp = dproj @ R                                     # (P, O, 2, 3)
+    # this environment's default matmul precision is bf16-grade (even
+    # on the CPU backend): a 0.15% relative error in Jp measurably
+    # degrades Hpp conditioning, so pin this tiny 2x3x3 contraction
+    Jp = jnp.matmul(dproj, R, precision="highest")     # (P, O, 2, 3)
 
     valid = problem.obs_valid & front
     return r, Jc, Jp, valid
@@ -293,13 +296,37 @@ def schur_reduce(prob: BundleProblem, lam, huber_delta: float
     return S, b_s, SchurW(W_e, prob.obs_cam), Hpp_inv, bp
 
 
-@partial(jax.jit, static_argnames=("iters", "huber_delta"))
+def resolve_ba_backend(problem: Optional[BundleProblem] = None) -> str:
+    """'pallas' when the fused Schur kernel can run here, else 'jnp'.
+
+    Call OUTSIDE jit (reads the effective default placement)."""
+    from gslam_tpu.utils.platform import pallas_supported
+
+    if not pallas_supported():
+        return "jnp"
+    if problem is not None:
+        from gslam_tpu.ops.pallas.schur import schur_pallas_ok
+
+        if not schur_pallas_ok(problem):
+            return "jnp"
+    return "pallas"
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "backend",
+                                   "interpret"))
 def bundle_adjust(problem: BundleProblem, iters: int = 10,
-                  lm_lambda0: float = 1e-4, huber_delta: float = 0.01
+                  lm_lambda0: float = 1e-4, huber_delta: float = 0.01,
+                  backend: str = "jnp", interpret: bool = False
                   ) -> Tuple[BundleProblem, BAStats]:
     """LM bundle adjustment; returns updated problem + stats.
 
     All shapes static; `iters` LM steps with accept/reject damping.
+    ``backend='pallas'`` runs the fused residual->Schur VMEM kernel
+    (:mod:`gslam_tpu.ops.pallas.schur`) for the normal equations and the
+    accept-test cost; the observation planes are prepared once here,
+    OUTSIDE the LM scan, so the per-iteration kernel reads only
+    (O, P)-shaped loop-invariant inputs.  Use
+    :func:`resolve_ba_backend` at call sites to pick automatically.
     """
     C = problem.cam_pose.shape[0]
     P = problem.point_xyz.shape[0]
@@ -307,15 +334,47 @@ def bundle_adjust(problem: BundleProblem, iters: int = 10,
     cam_free = ~problem.cam_fixed
     pt_free = ~problem.point_fixed
 
-    def normal_equations(cam_pose, point_xyz, lam):
-        prob = problem._replace(cam_pose=cam_pose, point_xyz=point_xyz)
-        return schur_reduce(prob, lam, huber_delta)
+    if backend == "pallas":
+        from gslam_tpu.ops.pallas import schur as _ps
+
+        inv = _ps._prep_invariant(problem, _ps.TILE_P)
+
+        def normal_equations(cam_pose, point_xyz, lam):
+            prob = problem._replace(cam_pose=cam_pose,
+                                    point_xyz=point_xyz)
+            outs = _ps._schur_call(
+                inv, _ps._pose_rt(cam_pose),
+                _ps._points_t(point_xyz, inv["Pp"]), lam, C=C,
+                huber_delta=huber_delta, tile_p=_ps.TILE_P,
+                interpret=interpret)
+            S, b_s, W, Hpp_inv, bp, _ = _ps._assemble(outs, prob, lam)
+            return S, b_s, W, Hpp_inv, bp
+
+        def cost_of(cam_pose, point_xyz):
+            return _ps._cost_call(
+                inv, _ps._pose_rt(cam_pose),
+                _ps._points_t(point_xyz, inv["Pp"]), C=C,
+                huber_delta=huber_delta, tile_p=_ps.TILE_P,
+                interpret=interpret)
+    else:
+        def normal_equations(cam_pose, point_xyz, lam):
+            prob = problem._replace(cam_pose=cam_pose,
+                                    point_xyz=point_xyz)
+            return schur_reduce(prob, lam, huber_delta)
+
+        def cost_of(cam_pose, point_xyz):
+            prob = problem._replace(cam_pose=cam_pose,
+                                    point_xyz=point_xyz)
+            return ba_cost(prob, huber_delta)
 
     def apply_update(cam_pose, point_xyz, S, b_s, Wf, Hpp_inv, bp):
         # reduced camera system: S is SPD (damped + pinned gauge rows)
-        # -> Cholesky, cheaper than the LU custom call on TPU
-        dxc = -jnp.linalg.solve(
-            S + 1e-8 * jnp.eye(S.shape[0]), b_s)        # (6C,)  TEMP-LU2
+        # -> Cholesky factor + two triangular solves (the LU custom
+        # call this replaced cost ~2x on TPU for the (6C, 6C) block)
+        from jax.scipy.linalg import cho_factor, cho_solve
+
+        fac = cho_factor(S + 1e-8 * jnp.eye(S.shape[0]), lower=True)
+        dxc = -cho_solve(fac, b_s)                      # (6C,)
         dxc = dxc.reshape(C, 6) * cam_free[:, None]
         # back-substitute landmarks:
         # dxp = -Hpp^-1 (bp + W^T dxc)
@@ -325,10 +384,6 @@ def bundle_adjust(problem: BundleProblem, iters: int = 10,
         new_pose = se3_mul(se3_exp(dxc), cam_pose)
         new_xyz = point_xyz + dxp
         return new_pose, new_xyz
-
-    def cost_of(cam_pose, point_xyz):
-        prob = problem._replace(cam_pose=cam_pose, point_xyz=point_xyz)
-        return ba_cost(prob, huber_delta)
 
     def lm_step(state, _):
         cam_pose, point_xyz, lam, cost = state
@@ -581,7 +636,9 @@ def global_bundle_adjust(arena, camera, iters: int = 10,
                 problem, costs = distributed_bundle_adjust(
                     problem, mesh, iters=iters)
             else:
-                problem, stats = bundle_adjust(problem, iters=iters)
+                problem, stats = bundle_adjust(
+                    problem, iters=iters,
+                    backend=resolve_ba_backend(problem))
                 costs = stats.cost
             arena = write_back_to_arena(arena, problem, cam_ids,
                                         point_ids)

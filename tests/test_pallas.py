@@ -125,3 +125,114 @@ class TestVocabKernel:
                                    jnp.ones(50, bool), voc.k, voc.L,
                                    interpret=True)
         np.testing.assert_array_equal(np.asarray(w), np.asarray(gold_w))
+
+
+def make_ba_problem(rng, C=5, P=200, O=6, noise=2e-3, fixed_cam0=True):
+    """Realistic BA problem: obs = true projection + noise, with fixed
+    blocks, invalid slots, a behind-camera point, non-uniform weights.
+    Shared by the interpret-mode gold tests here and the on-chip tier
+    (tests/test_pallas_tpu.py)."""
+    from gslam_tpu.core.se3 import se3_apply
+    from gslam_tpu.opt.ba import BundleProblem
+
+    cam_t = rng.normal(0, 0.2, (C, 3))
+    q = np.tile([1.0, 0, 0, 0], (C, 1)) + rng.normal(0, 0.05, (C, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cam = np.concatenate([cam_t, q], 1).astype(np.float32)
+    pts = rng.normal(0, 1.0, (P, 3)).astype(np.float32)
+    pts[:, 2] += 5
+    pts[3] = [0, 0, -5]                      # behind every camera
+    obs_cam = rng.integers(0, C, (P, O)).astype(np.int32)
+    pc = np.asarray(se3_apply(jnp.asarray(cam)[obs_cam],
+                              jnp.asarray(pts)[:, None]))
+    z = np.maximum(pc[..., 2], 1e-3)
+    obs_uv = (pc[..., :2] / z[..., None]
+              + rng.normal(0, noise, (P, O, 2))).astype(np.float32)
+    obs_valid = rng.random((P, O)) < 0.85
+    obs_w = (rng.random((P, O)) + 0.5).astype(np.float32)
+    cam_fixed = np.zeros(C, bool)
+    cam_fixed[0] = fixed_cam0
+    pt_fixed = np.zeros(P, bool)
+    pt_fixed[7] = True
+    return BundleProblem(*map(jnp.asarray, (
+        cam, cam_fixed, pts, pt_fixed, obs_cam, obs_uv, obs_valid,
+        obs_w)))
+
+
+class TestSchurKernel:
+    """Fused residual->Schur BA kernel vs opt.ba.schur_reduce.
+
+    Parity runs under jax.default_matmul_precision('highest'): this
+    environment's DEFAULT matmul precision is bf16-grade even on the
+    CPU backend, and the kernel (pure-VPU Jacobians) is the MORE
+    accurate side — at default precision the jnp reference's
+    `dproj @ R` carries ~0.15% error (verified against f64)."""
+
+    def _parity(self, prob, lam=1e-3, hd=0.01):
+        from gslam_tpu.opt.ba import schur_reduce
+        from gslam_tpu.ops.pallas.schur import schur_reduce_pallas
+
+        with jax.default_matmul_precision("highest"):
+            S0, b0, W0, Hi0, bp0 = schur_reduce(prob, jnp.float32(lam),
+                                                hd)
+            S1, b1, W1, Hi1, bp1 = schur_reduce_pallas(
+                prob, jnp.float32(lam), hd, interpret=True)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
+                                   rtol=1e-4, atol=1e-4 * float(
+                                       jnp.abs(S0).max()))
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
+                                   atol=1e-4 * max(float(
+                                       jnp.abs(b0).max()), 1e-6))
+        np.testing.assert_allclose(np.asarray(W1.W_e),
+                                   np.asarray(W0.W_e), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Hi1), np.asarray(Hi0),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bp1), np.asarray(bp0),
+                                   atol=1e-5)
+
+    def test_gold_vs_reference(self, rng):
+        self._parity(make_ba_problem(rng))
+
+    def test_gold_odd_shapes(self, rng):
+        """P not a lane-tile multiple, odd O, tiny C: padding must be
+        inert and the one-hot camera loop correct at any C."""
+        self._parity(make_ba_problem(rng, C=3, P=137, O=5))
+
+    def test_gold_multi_tile(self, rng):
+        self._parity(make_ba_problem(rng, C=8, P=300, O=4))
+
+    def test_cost_gold(self, rng):
+        from gslam_tpu.opt.ba import ba_cost
+        from gslam_tpu.ops.pallas.schur import ba_cost_pallas
+
+        prob = make_ba_problem(rng)
+        c0 = float(ba_cost(prob, 0.01))
+        c1 = float(ba_cost_pallas(prob, 0.01, interpret=True))
+        np.testing.assert_allclose(c1, c0, rtol=1e-5)
+
+    def test_full_lm_parity(self, rng):
+        """bundle_adjust(backend='pallas') walks the same LM trajectory
+        as the jnp backend (same costs, same accepted steps)."""
+        from gslam_tpu.opt.ba import bundle_adjust
+
+        prob = make_ba_problem(rng)
+        with jax.default_matmul_precision("highest"):
+            outj, stj = bundle_adjust(prob, iters=8)
+            outp, stp = bundle_adjust(prob, iters=8, backend="pallas",
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(stp.cost),
+                                   np.asarray(stj.cost), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(outp.cam_pose),
+                                   np.asarray(outj.cam_pose), atol=1e-4)
+        assert float(stp.cost[-1]) < 0.75 * float(stp.cost[0])
+
+    def test_malformed_obs_uv_raises(self, rng):
+        """A broadcast-shaped (P, 1, 2) obs_uv silently works in the
+        jnp path; the plane layout must reject it loudly."""
+        prob = make_ba_problem(rng, C=2, P=16, O=2)
+        bad = prob._replace(obs_uv=prob.obs_uv[:, :1])
+        from gslam_tpu.ops.pallas.schur import schur_reduce_pallas
+
+        with pytest.raises(ValueError, match="obs_uv"):
+            schur_reduce_pallas(bad, jnp.float32(1e-3), 0.01,
+                                interpret=True)

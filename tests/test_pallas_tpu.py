@@ -73,3 +73,30 @@ class TestOnDeviceGold:
         gold = np.asarray(_transform_words(voc.node_desc, q, v,
                                            voc.k, voc.L))
         np.testing.assert_array_equal(out, gold)
+
+
+class TestSchurOnDevice:
+    def test_schur_kernel_compiles_and_matches(self, rng):
+        """Fused Schur kernel on the real chip vs the jnp reference.
+
+        The on-chip jnp reference itself runs bf16-grade GEMMs, so the
+        tolerance is looser than the interpret-mode gold tier (the
+        kernel side is the f64-verified one)."""
+        _require_tpu()
+        from tests.test_pallas import make_ba_problem
+        from gslam_tpu.opt.ba import bundle_adjust, schur_reduce
+        from gslam_tpu.ops.pallas.schur import schur_reduce_pallas
+
+        prob = make_ba_problem(rng, C=8, P=256, O=8)
+        S1, b1, W1, Hi1, bp1 = schur_reduce_pallas(prob,
+                                                   jnp.float32(1e-3))
+        with jax.default_matmul_precision("highest"):
+            S0, b0, W0, Hi0, bp0 = schur_reduce(prob, jnp.float32(1e-3),
+                                                0.01)
+        scale = float(jnp.abs(S0).max())
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
+                                   atol=2e-3 * scale)
+        outp, stp = bundle_adjust(prob, iters=8, backend="pallas")
+        costs = np.asarray(stp.cost)
+        assert np.isfinite(costs).all()
+        assert costs[-1] < 0.75 * costs[0]
