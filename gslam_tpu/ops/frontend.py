@@ -23,7 +23,7 @@ Everything takes/returns fixed-shape arrays and is jit/vmap-safe.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -343,10 +343,12 @@ def extract_features(img: jnp.ndarray, max_kps: int = 512,
     (TPU-compiled path; the jnp reference remains the gold).
     """
     if use_pallas:
-        from gslam_tpu.ops.pallas.fastnms import fast_nms_pallas
+        from gslam_tpu.ops.pallas.fastnms import fast_nms_raw_pallas
 
-        raw = fast_score(img, threshold)  # raw map for subpixel interp
-        score = fast_nms_pallas(img, threshold=threshold)
+        # one fused pass yields BOTH maps — recomputing the raw map
+        # for subpixel interp through jnp fast_score cost 1.43 ms/frame
+        # (measured r4), 38% of the whole round-3 tracking step
+        score, raw = fast_nms_raw_pallas(img, threshold=threshold)
     else:
         raw = fast_score(img, threshold)
         score = nms(raw)
@@ -354,7 +356,15 @@ def extract_features(img: jnp.ndarray, max_kps: int = 512,
                                              raw_score=raw)
     angle = compute_orientations(img, uv)
     blur = gaussian_blur(img, sigma=2.0)
-    desc = brief_descriptors(blur, uv, angle)
+    if use_pallas:
+        from gslam_tpu.ops.pallas.brief import brief_descriptors_pallas
+
+        # one-hot MXU selection kernel: bit-equal to the jnp gather
+        # path for valid keypoints, ~10x faster (the flat 512x512
+        # sample gather was half the round-3 tracking step)
+        desc = brief_descriptors_pallas(blur, uv, angle)
+    else:
+        desc = brief_descriptors(blur, uv, angle)
     desc = jnp.where(valid[:, None], desc, 0)
     return Features(uv=uv, score=val, angle=jnp.where(valid, angle, 0.0),
                     desc=desc, valid=valid, count=count)

@@ -1,0 +1,168 @@
+"""Rotated-BRIEF descriptor sampling as one-hot MXU selection.
+
+The jnp reference (gslam_tpu.ops.frontend.brief_descriptors) samples
+2*256 rotated pattern points per keypoint with ONE flat 512x512-element
+``jnp.take`` — a serial per-element gather the TPU executes in ~1.8 ms
+at 512 kps (measured r4: HALF the tracking step).  This kernel removes
+the gather entirely:
+
+* each keypoint's 32x32 patch is staged from the VMEM-resident
+  (transposed) image into scratch with ONE unaligned dynamic slice —
+  transposing the image outside means the slice lands patch-transposed
+  (c, r), exactly the layout the selection GEMM wants, with no
+  in-kernel transpose or cross-lane reshape;
+* the rotated integer sample positions are computed on the VPU from
+  the pattern constants ((256, 1) column layout so broadcasts never
+  need a lane<->sublane transpose), identical rounding to the jnp path
+  (jnp.round, round-half-even);
+* sampling endpoint e of pattern bit j is then
+      s_e[k, j] = sum_{r,c} 1[c == cx_e(k,j)] patchT[k, c, r]
+                           1[r == ry_e(k,j)]
+  -> a batched one-hot (TK, 256, 32) x (TK, 32, 32) dot_general on the
+  MXU plus a masked lane-reduction; one-hot f32 selection is EXACT, so
+  descriptors are BIT-EQUAL to the jnp path for every valid keypoint
+  (invalid keypoints are zeroed by the caller, as in the jnp path).
+
+Reference: ORB-SLAM-style plugin frontends (SURVEY 3.2 HOT LOOP);
+the reference CPU code rotates a learned pattern per keypoint — same
+observable behavior, TPU-native execution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gslam_tpu.map.arena import DESC_WORDS
+from gslam_tpu.ops.frontend import _PATTERN, PATCH_R
+
+BITS = DESC_WORDS * 32      # 256
+PS = 32                     # patch size (covers radius-13 pattern + subpixel)
+PSX = PS + 8                # staged sublane extent: Mosaic can only
+                            # prove dynamic sublane starts that are
+                            # 8-aligned, so the x-corner is aligned
+                            # DOWN and the one-hot absorbs the shift
+PSY = PS + 128              # staged lane extent: lane starts must be
+                            # 128-aligned (same alignment trick)
+TILE_K = 8                  # keypoints per grid step
+
+
+def _brief_kernel(cx_ref, cy_ref, ca_ref, sa_ref, x0_ref, y0_ref,
+                  imgT_ref, pat_ref, out_ref, patches):
+    t = pl.program_id(0)
+    p1x = pat_ref[:, 0:1]                       # (BITS, 1)
+    p1y = pat_ref[:, 1:2]
+    p2x = pat_ref[:, 2:3]
+    p2y = pat_ref[:, 3:4]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (BITS, PSX), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (BITS, PSY), 1)
+
+    ohs = [None] * (4 * TILE_K)
+    for i in range(TILE_K):
+        k = t * TILE_K + i
+        cx = cx_ref[0, k]
+        cy = cy_ref[0, k]
+        ca = ca_ref[0, k]
+        sa = sa_ref[0, k]
+        x0 = x0_ref[0, k]                       # already 8-aligned
+        y0 = y0_ref[0, k]
+        # stage the transposed patch: imgT[x, y] = img[y, x], so the
+        # slice IS patchT[c, r] = img[y0+r, x0+c]
+        patches[i] = imgT_ref[pl.ds(pl.multiple_of(x0, 8), PSX),
+                              pl.ds(pl.multiple_of(y0, 128), PSY)]
+        x0f = x0.astype(jnp.float32)
+        y0f = y0.astype(jnp.float32)
+        # rotated absolute sample coords, rounded EXACTLY as jnp does,
+        # re-based to the patch corner (always in-bounds for
+        # border-respecting keypoints); parenthesization matches the
+        # jnp path (cx + (rotated offset)) — a different f32
+        # association would flip bits near .5
+        c1 = jnp.round(cx + (p1x * ca - p1y * sa)) - x0f  # (BITS, 1)
+        r1 = jnp.round(cy + (p1x * sa + p1y * ca)) - y0f
+        c2 = jnp.round(cx + (p2x * ca - p2y * sa)) - x0f
+        r2 = jnp.round(cy + (p2x * sa + p2y * ca)) - y0f
+        for e, (v, hi) in enumerate(((c1, PSX), (r1, PSY),
+                                     (c2, PSX), (r2, PSY))):
+            vi = v.clip(0, hi - 1).astype(jnp.int32)     # exact: round
+            ohs[4 * i + e] = ((iota_c if hi == PSX else iota_r) == vi
+                              ).astype(jnp.float32)      # whole f32
+
+    def stack(sel):
+        return jnp.stack([ohs[4 * i + sel] for i in range(TILE_K)], 0)
+
+    C1, R1 = stack(0), stack(1)                 # (TK, BITS, PSX|PS)
+    C2, R2 = stack(2), stack(3)
+    P = patches[:]                              # (TK, PSX_c, PS_r)
+    dn = (((2,), (1,)), ((0,), (0,)))           # batch k, contract c
+    # HIGHEST precision: the default MXU pass truncates patch
+    # intensities to bf16, flipping a<b comparisons of close samples
+    # (~1% of bits on-chip); exact selection needs f32 products
+    U1 = jax.lax.dot_general(C1, P, dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    U2 = jax.lax.dot_general(C2, P, dn,         # (TK, BITS, PS_r)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    s1 = jnp.sum(R1 * U1, axis=2)               # (TK, BITS)
+    s2 = jnp.sum(R2 * U2, axis=2)
+    out_ref[:] = (s1 < s2).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def brief_bits_pallas(img_blur: jnp.ndarray, uv: jnp.ndarray,
+                      angle: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(K, BITS) comparison bits; bit-equal to the jnp reference's
+    ``a < b`` for keypoints at least PATCH_R+1 px inside the image."""
+    H, W = img_blur.shape
+    K = uv.shape[0]
+    Kp = -(-K // TILE_K) * TILE_K
+    pad = (0, Kp - K)
+
+    cx = jnp.pad(uv[:, 0], pad)
+    cy = jnp.pad(uv[:, 1], pad)
+    ca = jnp.pad(jnp.cos(angle), pad)
+    sa = jnp.pad(jnp.sin(angle), pad)
+    # Mosaic can only prove ALIGNED dynamic slice starts (sublane
+    # multiples of 8, lane multiples of 128): both corners align DOWN
+    # and the staged patch is widened so the one-hot picks within it
+    x0 = (jnp.round(cx) - PS // 2).astype(jnp.int32).clip(0, W - PS)
+    x0 = (x0 // 8) * 8
+    y0 = (jnp.round(cy) - PS // 2).astype(jnp.int32).clip(0, H - PS)
+    y0 = (y0 // 128) * 128
+
+    # pad the transposed image so every aligned slice is in-bounds
+    px_ = max(0, ((W - PS) // 8) * 8 + PSX - W)
+    py_ = max(0, ((H - PS) // 128) * 128 + PSY - H)
+    imgT = jnp.pad(img_blur.T, ((0, px_), (0, py_)))
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bits = pl.pallas_call(
+        _brief_kernel,
+        grid=(Kp // TILE_K,),
+        in_specs=[smem] * 6 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((TILE_K, BITS), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp, BITS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_K, PSX, PSY), jnp.float32)],
+        interpret=interpret,
+    )(cx[None], cy[None], ca[None], sa[None], x0[None], y0[None],
+      imgT, jnp.asarray(_PATTERN))
+    return bits[:K]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def brief_descriptors_pallas(img_blur: jnp.ndarray, uv: jnp.ndarray,
+                             angle: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Drop-in fused replacement for frontend.brief_descriptors."""
+    bits = brief_bits_pallas(img_blur, uv, angle, interpret=interpret)
+    K = bits.shape[0]
+    w = bits.astype(jnp.uint32).reshape(K, DESC_WORDS, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None,
+                                                                  None]
+    return jnp.sum(w * weights, axis=-1, dtype=jnp.uint32)

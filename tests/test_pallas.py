@@ -236,3 +236,56 @@ class TestSchurKernel:
         with pytest.raises(ValueError, match="obs_uv"):
             schur_reduce_pallas(bad, jnp.float32(1e-3), 0.01,
                                 interpret=True)
+
+
+class TestBriefKernel:
+    """One-hot MXU BRIEF sampler vs the jnp flat-gather reference.
+
+    Contract is BIT-EXACT descriptors for valid (border-respecting)
+    keypoints — the kernel reproduces the jnp path's rounding and
+    parenthesization precisely."""
+
+    def _check(self, rng, H, W, max_kps):
+        from gslam_tpu.ops.frontend import (brief_descriptors,
+                                            extract_features,
+                                            gaussian_blur)
+        from gslam_tpu.ops.pallas.brief import brief_descriptors_pallas
+        from tests.test_frontend import blob_image
+
+        img = jnp.asarray(blob_image(rng, H=H, W=W, n=60))
+        feats = extract_features(img, max_kps=max_kps, threshold=0.06)
+        blur = gaussian_blur(img, sigma=2.0)
+        gold = np.asarray(brief_descriptors(blur, feats.uv, feats.angle))
+        out = np.asarray(brief_descriptors_pallas(blur, feats.uv,
+                                                  feats.angle,
+                                                  interpret=True))
+        v = np.asarray(feats.valid)
+        assert v.sum() > 10
+        np.testing.assert_array_equal(out[v], gold[v])
+
+    def test_gold_bit_exact(self, rng):
+        self._check(rng, 240, 320, 128)
+
+    def test_gold_odd_shapes(self, rng):
+        """Non-multiple-of-tile K and an image whose aligned patch
+        windows need padding."""
+        self._check(rng, 123, 161, 50)
+
+
+class TestFastNmsRaw:
+    def test_raw_map_gold(self, rng):
+        """The fused second output must equal jnp fast_score exactly
+        (it feeds subpixel refinement)."""
+        from gslam_tpu.ops.frontend import fast_score, nms
+        from gslam_tpu.ops.pallas.fastnms import fast_nms_raw_pallas
+        from tests.test_frontend import blob_image
+
+        img = jnp.asarray(blob_image(rng, H=96, W=128, n=25))
+        score, raw = fast_nms_raw_pallas(img, threshold=0.08,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(raw),
+                                   np.asarray(fast_score(img, 0.08)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(score), np.asarray(nms(fast_score(img, 0.08))),
+            atol=1e-5)

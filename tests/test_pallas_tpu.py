@@ -96,7 +96,33 @@ class TestSchurOnDevice:
         scale = float(jnp.abs(S0).max())
         np.testing.assert_allclose(np.asarray(S1), np.asarray(S0),
                                    atol=2e-3 * scale)
-        outp, stp = bundle_adjust(prob, iters=8, backend="pallas")
+        # perturb the landmarks so the LM has real work (obs are built
+        # from true geometry; at the truth the cost IS the noise floor)
+        pert = prob._replace(point_xyz=prob.point_xyz
+                             + 0.02 * jnp.sin(prob.point_xyz * 7.0))
+        outp, stp = bundle_adjust(pert, iters=8, backend="pallas")
         costs = np.asarray(stp.cost)
         assert np.isfinite(costs).all()
-        assert costs[-1] < 0.75 * costs[0]
+        assert costs[-1] < 0.5 * costs[0]
+
+
+class TestBriefOnDevice:
+    def test_brief_kernel_bit_exact_on_chip(self, rng):
+        """The one-hot selection must stay bit-exact on real Mosaic
+        (HIGHEST-precision dots: the default MXU pass truncates patch
+        intensities to bf16 and flipped ~1% of bits when first built)."""
+        _require_tpu()
+        from gslam_tpu.models.graft import example_inputs
+        from gslam_tpu.ops.frontend import (brief_descriptors,
+                                            extract_features,
+                                            gaussian_blur)
+        from gslam_tpu.ops.pallas.brief import brief_descriptors_pallas
+
+        img, *_ = example_inputs()
+        feats = extract_features(img, max_kps=512, threshold=0.06)
+        blur = gaussian_blur(img, sigma=2.0)
+        gold = np.asarray(brief_descriptors(blur, feats.uv, feats.angle))
+        out = np.asarray(brief_descriptors_pallas(blur, feats.uv,
+                                                  feats.angle))
+        v = np.asarray(feats.valid)
+        np.testing.assert_array_equal(out[v], gold[v])
