@@ -412,10 +412,22 @@ class KeyframeSLAM:
             pc = se3_apply(pose_cw_pred, xyz)
             uv_pred, proj_ok = cam.project(pc)
             visible = valid & proj_ok
-            m = match_descriptors_gated(
-                desc, visible, kp_desc, kp_valid,
-                uv_pred, kp_uv, c.gate_radius_px,
-                max_dist=c.match_max_dist, ratio=c.match_ratio)
+            if c.use_pallas:
+                from gslam_tpu.ops.pallas.matcher import \
+                    match_hamming_gated_pallas
+
+                # fused kernel: the (N, M) distance matrix + pixel
+                # gate never leave VMEM (the PRODUCT tracking loop now
+                # runs three Pallas kernels: detector, BRIEF, matcher)
+                m = match_hamming_gated_pallas(
+                    desc, visible, kp_desc, kp_valid,
+                    uv_pred, kp_uv, float(c.gate_radius_px),
+                    max_dist=c.match_max_dist, ratio=c.match_ratio)
+            else:
+                m = match_descriptors_gated(
+                    desc, visible, kp_desc, kp_valid,
+                    uv_pred, kp_uv, c.gate_radius_px,
+                    max_dist=c.match_max_dist, ratio=c.match_ratio)
             rays = cam.unproject(kp_uv[m.idx.clip(0)])[:, :2]
             thr = (c.pnp_px_threshold / cam.fx) ** 2
             T, inl, n = find_pnp_ransac(key, xyz, rays, m.valid,

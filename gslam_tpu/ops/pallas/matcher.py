@@ -102,3 +102,63 @@ def match_hamming_pallas(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                    dist=jnp.where(ok, best, inf),
                    valid=ok,
                    count=ok.sum().astype(jnp.int32))
+
+
+def _gated_kernel(a_ref, av_ref, ax_ref, ay_ref,
+                  b_ref, bv_ref, bx_ref, by_ref,
+                  best_ref, second_ref, idx_ref, *, gate2: float):
+    """Projection-gated variant: the (N, M) distance matrix AND the
+    (N, M) pixel-distance gate both live only in VMEM."""
+    A = a_ref[:]
+    B = b_ref[:]
+    N = A.shape[0]
+    M = B.shape[0]
+    dot = jnp.dot(A, B.T, preferred_element_type=jnp.float32)
+    D = (jnp.float32(BITS) - dot) * 0.5
+    inf = jnp.float32(BITS + 1)
+    dx = ax_ref[:].reshape(N, 1) - bx_ref[:].reshape(1, M)
+    dy = ay_ref[:].reshape(N, 1) - by_ref[:].reshape(1, M)
+    ok = ((av_ref[:].reshape(N, 1) > 0) & (bv_ref[:].reshape(1, M) > 0)
+          & (dx * dx + dy * dy <= jnp.float32(gate2)))
+    D = jnp.where(ok, D, inf)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    best = jnp.min(D, axis=1, keepdims=True)
+    first_best_col = jnp.min(jnp.where(D == best, cols, M), axis=1,
+                             keepdims=True)
+    D2 = jnp.where(cols == first_best_col, inf, D)
+    best_ref[:] = best[:, 0]
+    second_ref[:] = jnp.min(D2, axis=1)
+    idx_ref[:] = first_best_col[:, 0]
+
+
+@partial(jax.jit, static_argnames=("gate_radius", "max_dist", "ratio",
+                                   "interpret"))
+def match_hamming_gated_pallas(desc_a, valid_a, desc_b, valid_b,
+                               uv_a, uv_b, gate_radius: float,
+                               max_dist: float = 64.0,
+                               ratio: float = 0.9,
+                               interpret: bool = False) -> Matches:
+    """Drop-in fused replacement for matching.match_descriptors_gated
+    (the product tracking matcher: search-by-projection)."""
+    from gslam_tpu.ops.matching import unpack_descriptors
+
+    N = desc_a.shape[0]
+    A = unpack_descriptors(desc_a)
+    B = unpack_descriptors(desc_b)
+    best, second, bidx = pl.pallas_call(
+        partial(_gated_kernel, gate2=float(gate_radius) ** 2),
+        out_shape=(jax.ShapeDtypeStruct((N,), jnp.float32),
+                   jax.ShapeDtypeStruct((N,), jnp.float32),
+                   jax.ShapeDtypeStruct((N,), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+        interpret=interpret,
+    )(A, valid_a.astype(jnp.int32), uv_a[:, 0], uv_a[:, 1],
+      B, valid_b.astype(jnp.int32), uv_b[:, 0], uv_b[:, 1])
+    inf = jnp.float32(BITS + 1)
+    ok = valid_a & (best <= max_dist) & (best <= ratio * second)
+    return Matches(idx=jnp.where(ok, bidx, -1).astype(jnp.int32),
+                   dist=jnp.where(ok, best, inf),
+                   valid=ok,
+                   count=ok.sum().astype(jnp.int32))

@@ -289,3 +289,33 @@ class TestFastNmsRaw:
         np.testing.assert_allclose(
             np.asarray(score), np.asarray(nms(fast_score(img, 0.08))),
             atol=1e-5)
+
+
+class TestGatedMatcherKernel:
+    def test_gold_vs_reference(self, rng):
+        from gslam_tpu.ops.matching import match_descriptors_gated
+        from gslam_tpu.ops.pallas.matcher import \
+            match_hamming_gated_pallas
+
+        N, M = 96, 64
+        a = jnp.asarray(rng.integers(0, 2**31, (N, 8)).astype(np.uint32))
+        b = np.asarray(rng.integers(0, 2**31, (M, 8)).astype(np.uint32))
+        b[:32] = np.asarray(a[:32])
+        b[:32, 0] ^= 0b111                # 3-bit noise copies
+        b = jnp.asarray(b)
+        va = jnp.asarray(rng.random(N) < 0.9)
+        vb = jnp.asarray(rng.random(M) < 0.9)
+        uv_a = jnp.asarray(rng.uniform(0, 100, (N, 2)).astype(np.float32))
+        uv_b = np.asarray(rng.uniform(0, 100, (M, 2)).astype(np.float32))
+        uv_b[:32] = np.asarray(uv_a[:32]) + 2.0   # inside the gate
+        uv_b = jnp.asarray(uv_b)
+        gold = match_descriptors_gated(a, va, b, vb, uv_a, uv_b, 12.0,
+                                       max_dist=64.0, ratio=0.9)
+        out = match_hamming_gated_pallas(a, va, b, vb, uv_a, uv_b, 12.0,
+                                         max_dist=64.0, ratio=0.9,
+                                         interpret=True)
+        assert int(gold.count) > 10
+        np.testing.assert_array_equal(np.asarray(out.idx),
+                                      np.asarray(gold.idx))
+        np.testing.assert_array_equal(np.asarray(out.valid),
+                                      np.asarray(gold.valid))
