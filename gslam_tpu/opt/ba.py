@@ -206,34 +206,36 @@ def schur_wt_dxc(W: SchurW, dxc_flat: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("poab,poa->pb", W.W_e, g)
 
 
-def schur_reduce(prob: BundleProblem, lam, huber_delta: float
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, SchurW,
-                            jnp.ndarray, jnp.ndarray]:
-    """Landmark-eliminated (Schur-reduced) vision normal equations.
+def schur_partials(prob: BundleProblem, lam, huber_delta: float,
+                   n_cams: Optional[int] = None, obs_psum=None):
+    """Scatter-free PARTIAL Schur pieces for a (shard of a) problem.
 
-    The numerically subtle core shared by :func:`bundle_adjust` and the
-    visual-inertial LM (:mod:`gslam_tpu.opt.vi`): robust-weighted
-    residual/Jacobian assembly, per-point 3x3 Hpp inversion, and the
-    reduced camera system.  Returns (S (6C, 6C), b_s (6C,),
-    SchurW, Hpp_inv (P, 3, 3), bp (P, 3)) at the CURRENT state.
+    The shared core of the single-device :func:`schur_reduce` and both
+    distributed variants (:mod:`gslam_tpu.parallel.dist_ba`) — one
+    implementation of the numerically subtle reduction, consumed under
+    different reduction schedules.  NO SCATTERS anywhere (round 2's
+    ``.at[].add`` segment-sums serialize on TPU and dominated the LM
+    iteration): every segment-sum is a ONE-HOT GEMM on the MXU.
 
-    TPU formulation — NO SCATTERS.  Round 2 built Hcc/bc/W with
-    ``.at[].add`` scatters plus a dense (6C, 3P) W for one big GEMM;
-    scatter-adds serialize on TPU and dominated the LM iteration.
-    Every segment-sum here is a ONE-HOT GEMM on the MXU instead:
+    ``n_cams`` sizes the camera blocks (pass the GLOBAL camera count
+    when ``prob`` is a landmark shard).  ``obs_psum`` is a callable
+    summing per-point partials over an observation-shard mesh axis
+    (identity when observation slots are unsharded); it must be applied
+    BEFORE Hpp inversion and before the Schur product, whose cross
+    terms couple observation slots of the same point.
 
-      Hcc = onehot(obs_cam)^T @ Hcc_e           (C, PO) x (PO, 36)
-      S_corr[c1,c2] = sum_{p,o1,o2} 1[cam=c1] 1[cam=c2]
-                      W_e[p,o1] Hpp^-1_p W_e[p,o2]^T
-             = onehot(pair)^T @ M               (C^2, POO) x (POO, 36)
-
-    and the back-substitution side is a pure gather (schur_wt_dxc).
+    Returns (Hcc (C,6,6) UNDAMPED partial, bc (C,6) partial,
+    S_corr (6C,6C) partial, b_corr (C,6) partial, SchurW,
+    Hpp_inv (P,3,3) complete, bp (P,3) complete).  Partials sum over
+    landmark shards; Hcc damping/pinning happens after that sum
+    (:func:`assemble_schur`).
     """
-    C = prob.cam_pose.shape[0]
+    C = n_cams or prob.cam_pose.shape[0]
     P = prob.point_xyz.shape[0]
     O = prob.obs_cam.shape[1]
     cam_free = ~prob.cam_fixed
     pt_free = ~prob.point_fixed
+    psum = obs_psum or (lambda x: x)
 
     r, Jc, Jp, valid = _project_residual_jac(prob)
     e = jnp.linalg.norm(r, axis=-1)
@@ -244,9 +246,9 @@ def schur_reduce(prob: BundleProblem, lam, huber_delta: float
     Jp = Jp * pt_free[:, None, None, None]
 
     sw = w[..., None, None]
-    # per-point landmark blocks
-    Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)  # (P, 3, 3)
-    bp = jnp.einsum("poia,poi->pa", Jp * sw, r)      # (P, 3)
+    # per-point landmark blocks (complete once obs-partials are summed)
+    Hpp = psum(jnp.einsum("poia,poib->pab", Jp * sw, Jp))  # (P, 3, 3)
+    bp = psum(jnp.einsum("poia,poi->pa", Jp * sw, r))      # (P, 3)
     # camera blocks + rhs via one-hot GEMM segment-sum
     Hcc_e = jnp.einsum("poia,poib->poab", Jc * sw, Jc)  # (P, O, 6, 6)
     bc_e = jnp.einsum("poia,poi->poa", Jc * sw, r)
@@ -267,8 +269,6 @@ def schur_reduce(prob: BundleProblem, lam, huber_delta: float
     Hpp = Hpp + ((lam + 1e-5 * tr)[..., None, None] * jnp.eye(3))
     # pin fixed points so the 3x3 inverse is well-defined
     Hpp = jnp.where(pt_free[:, None, None], Hpp, jnp.eye(3)[None])
-    Hcc = Hcc + (lam * jnp.eye(6))[None]
-    Hcc = jnp.where(cam_free[:, None, None], Hcc, jnp.eye(6)[None])
 
     Hpp_inv = _inv3x3(Hpp)                          # (P, 3, 3)
     bp = bp * pt_free[:, None]
@@ -277,23 +277,50 @@ def schur_reduce(prob: BundleProblem, lam, huber_delta: float
     # Schur correction sum_p W_p Hpp^-1 W_p^T.  W_p (6C, 3) is formed
     # per point by a batched one-hot GEMM over its O observation slots
     # — O(P*O*C) memory, linear in the camera count — then reduced
-    # with one (6C, 3P) x (3P, 6C) GEMM on the MXU.
+    # with one (6C, 3P) x (3P, 6C) GEMM on the MXU.  The per-point W_p
+    # must be complete over observation shards BEFORE the product (the
+    # Schur term has cross-pairs between obs slots of one point).
     G3 = onehot.reshape(P, O, C)
-    Wp = jnp.einsum("poc,poab->pcab", G3, W_e)       # (P, C, 6, 3)
+    Wp = psum(jnp.einsum("poc,poab->pcab", G3, W_e))  # (P, C, 6, 3)
     Wf = Wp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     Y = jnp.einsum("cpab,pbd->cpad",
                    Wp.transpose(1, 0, 2, 3), Hpp_inv)  # (C, P, 6, 3)
     Yf = Y.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
     S_corr = jnp.dot(Yf, Wf.T, preferred_element_type=jnp.float32)
     b_corr = (Yf @ bp.reshape(-1)).reshape(C, 6)
+    return (Hcc, bc, S_corr, b_corr, SchurW(W_e, prob.obs_cam),
+            Hpp_inv, bp)
 
-    # dense block-diagonal Hcc − S_corr -> (6C, 6C)
+
+def assemble_schur(Hcc, bc, S_corr, b_corr, lam, cam_free
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Damp/pin the (shard-)summed camera blocks and form S, b_s."""
+    C = Hcc.shape[0]
+    Hcc = Hcc + (lam * jnp.eye(6))[None]
+    Hcc = jnp.where(cam_free[:, None, None], Hcc, jnp.eye(6)[None])
     ii = jnp.arange(C)
     Hcc_d = jnp.zeros((C, 6, C, 6)).at[ii, :, ii, :].set(Hcc) \
         .reshape(C * 6, C * 6)
     S = Hcc_d - S_corr
-    b_s = (bc - b_corr).reshape(-1)
-    return S, b_s, SchurW(W_e, prob.obs_cam), Hpp_inv, bp
+    b_s = (bc * cam_free[:, None] - b_corr).reshape(-1)
+    return S, b_s
+
+
+def schur_reduce(prob: BundleProblem, lam, huber_delta: float
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, SchurW,
+                            jnp.ndarray, jnp.ndarray]:
+    """Landmark-eliminated (Schur-reduced) vision normal equations.
+
+    Single-device assembly of :func:`schur_partials` (shared with the
+    distributed variants and the visual-inertial LM): returns
+    (S (6C, 6C), b_s (6C,), SchurW, Hpp_inv (P, 3, 3), bp (P, 3)) at
+    the CURRENT state.
+    """
+    Hcc, bc, S_corr, b_corr, W, Hpp_inv, bp = schur_partials(
+        prob, lam, huber_delta)
+    S, b_s = assemble_schur(Hcc, bc, S_corr, b_corr, lam,
+                            ~prob.cam_fixed)
+    return S, b_s, W, Hpp_inv, bp
 
 
 def resolve_ba_backend(problem: Optional[BundleProblem] = None) -> str:

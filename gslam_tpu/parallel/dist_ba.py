@@ -6,9 +6,12 @@ Global BA sharded over the device mesh (SURVEY 5.7 / BASELINE config #5):
   'pt' mesh axis — each landmark's 3x3 Hpp block is built and inverted
   on the shard that owns it;
 * observation slots are additionally sharded over the 'obs' axis
-  (per-point partial Hpp/bp summed with psum over 'obs');
+  (per-point partial Hpp/bp/W summed with psum over 'obs');
 * each shard forms its partial reduced camera system
-  S_shard = Hcc_shard - W_shard Hpp^-1 W_shard^T  as one dense GEMM,
+  S_shard = Hcc_shard - W_shard Hpp^-1 W_shard^T through the SAME
+  scatter-free one-hot-GEMM core as the single-device path
+  (:func:`gslam_tpu.opt.ba.schur_partials` — no ``.at[].add`` anywhere:
+  scatter-adds serialize on TPU and dominated the round-2 profile),
   combined with ``psum`` over the whole mesh (rides ICI);
 * the (6C, 6C) reduced system is solved identically on every device
   (replicated data => no communication), and landmark updates
@@ -18,6 +21,12 @@ The camera state is replicated; only O(C^2) floats cross the
 interconnect per iteration, independent of the number of landmarks —
 the same structure that makes Schur BA scale on CPU clusters, mapped to
 SPMD collectives.
+
+The ring variant (:func:`distributed_bundle_adjust_ring`) additionally
+shards the camera state and moves the reduced system with an explicit
+reduce-scatter + all-gather ``ppermute`` schedule whose per-hop payload
+is one destination shard's camera-block ROWS — 2(n-1)/n x the data of
+one full matrix, vs the (n-1) x of a naive ring all-reduce.
 """
 
 from __future__ import annotations
@@ -28,10 +37,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import shard_map
+from jax.scipy.linalg import cho_factor, cho_solve
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gslam_tpu.core.se3 import se3_exp, se3_mul
-from gslam_tpu.opt.ba import BundleProblem, _project_residual_jac
+from gslam_tpu.opt.ba import (BundleProblem, _project_residual_jac,
+                              assemble_schur, schur_partials,
+                              schur_wt_dxc)
 from gslam_tpu.opt.robust import huber_weight
 
 
@@ -43,6 +55,20 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _solve_spd(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """-(S + eps I)^-1 b via Cholesky (S is SPD: damped + pinned)."""
+    fac = cho_factor(S + 1e-8 * jnp.eye(S.shape[0]), lower=True)
+    return -cho_solve(fac, b)
+
+
+def _shard_cost(prob: BundleProblem, huber_delta: float) -> jnp.ndarray:
+    """Shard-local robust chi2 (caller reduces across the mesh)."""
+    r, _, _, valid = _project_residual_jac(prob)
+    e = jnp.linalg.norm(r, axis=-1)
+    w = prob.obs_weight * huber_weight(e, huber_delta)
+    return jnp.sum(jnp.where(valid, w * e * e, 0.0))
 
 
 @partial(jax.jit, static_argnames=("mesh", "iters", "huber_delta"))
@@ -73,7 +99,6 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
         obs_weight=_pad_to(pad_pt(problem.obs_weight), 1, n_obs),
     )
     P_pad = prob.point_xyz.shape[0]
-    O_pad = prob.obs_cam.shape[1]
     # padded landmarks are fixed & observation-less
     pad_mask = jnp.arange(P_pad) >= problem.point_xyz.shape[0]
     prob = prob._replace(
@@ -96,98 +121,42 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
                  obs_valid, obs_weight):
         pt_free = ~point_fixed
 
-        def residual_jac(cam_pose, point_xyz):
-            p = BundleProblem(cam_pose, prob.cam_fixed, point_xyz,
-                              point_fixed, obs_cam, obs_uv, obs_valid,
-                              obs_weight)
-            return _project_residual_jac(p)
+        def local_prob(cam_pose, point_xyz):
+            return BundleProblem(cam_pose, prob.cam_fixed, point_xyz,
+                                 point_fixed, obs_cam, obs_uv,
+                                 obs_valid, obs_weight)
 
         def cost_of(cam_pose, point_xyz):
-            r, _, _, valid = residual_jac(cam_pose, point_xyz)
-            e = jnp.linalg.norm(r, axis=-1)
-            w = obs_weight * huber_weight(e, huber_delta)
-            local = jnp.sum(jnp.where(valid, w * e * e, 0.0))
+            local = _shard_cost(local_prob(cam_pose, point_xyz),
+                                huber_delta)
             return jax.lax.psum(local, ("pt", "obs"))
 
         def lm_step(state, _):
             cam_pose, point_xyz, lam, cost = state
-            r, Jc, Jp, valid = residual_jac(cam_pose, point_xyz)
-            e = jnp.linalg.norm(r, axis=-1)
-            w = obs_weight * huber_weight(e, huber_delta)
-            w = jnp.where(valid, w, 0.0)
-            Jc = Jc * cam_free[obs_cam][..., None, None]
-            Jp = Jp * pt_free[:, None, None, None]
-            sw = w[..., None, None]
-
-            # landmark blocks: partial over 'obs' shard -> psum('obs')
-            Hpp = jax.lax.psum(
-                jnp.einsum("poia,poib->pab", Jp * sw, Jp), "obs")
-            bp = jax.lax.psum(
-                jnp.einsum("poia,poi->pa", Jp * sw, r), "obs")
-            Hpp = Hpp + (lam * jnp.eye(3))[None]
-            Hpp = jnp.where(pt_free[:, None, None], Hpp,
-                            jnp.eye(3)[None])
-            Hpp_inv = jnp.linalg.inv(Hpp)
-            bp = bp * pt_free[:, None]
-
-            # camera blocks: local scatter -> psum(all)
-            Pl = point_xyz.shape[0]
-            Ol = obs_cam.shape[1]
-            cam_flat = obs_cam.reshape(-1)
-            Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(
-                jnp.einsum("poia,poib->poab", Jc * sw,
-                           Jc).reshape(-1, 6, 6))
-            bc = jnp.zeros((C, 6)).at[cam_flat].add(
-                jnp.einsum("poia,poi->poa", Jc * sw, r).reshape(-1, 6))
-            Hcc = jax.lax.psum(Hcc, ("pt", "obs"))
-            bc = jax.lax.psum(bc, ("pt", "obs"))
-            Hcc = Hcc + (lam * jnp.eye(6))[None]
-            Hcc = jnp.where(cam_free[:, None, None], Hcc,
-                            jnp.eye(6)[None])
-            bc = bc * cam_free[:, None]
-
-            # dense local W (6C, 3P_local): per-point W blocks are sums
-            # over ALL of the point's observations, so the 'obs'-shard
-            # partials must be psum'd BEFORE the Schur product (the
-            # product has cross-pairs between obs on different shards)
-            W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
-            Wd = jnp.zeros((C, 6, Pl, 3)).at[
-                obs_cam.reshape(-1), :,
-                jnp.repeat(jnp.arange(Pl), Ol), :].add(
-                W_e.reshape(-1, 6, 3))
-            Wd = jax.lax.psum(Wd, "obs")
-            Wf = Wd.reshape(C * 6, Pl * 3)
-            Y = jnp.einsum("cpq,pqr->cpr", Wd.reshape(C * 6, Pl, 3),
-                           Hpp_inv)
-            Yf = Y.reshape(C * 6, Pl * 3)
-            S_part = jnp.dot(Yf, Wf.T,
-                             preferred_element_type=jnp.float32)
-            b_part = Yf @ bp.reshape(-1)
-            # Wd is now replicated over 'obs': reduce over 'pt' only
-            S_red = jax.lax.psum(S_part, "pt")
-            b_red = jax.lax.psum(b_part, "pt")
-
-            ii = jnp.arange(C)
-            rows = jnp.broadcast_to(
-                ii[:, None, None] * 6 + jnp.arange(6)[None, :, None],
-                (C, 6, 6)).reshape(-1)
-            cols = jnp.broadcast_to(
-                ii[:, None, None] * 6 + jnp.arange(6)[None, None, :],
-                (C, 6, 6)).reshape(-1)
-            Hcc_d = jnp.zeros((C * 6, C * 6)).at[rows, cols].set(
-                Hcc.reshape(-1))
-            S = Hcc_d - S_red
-            b_s = bc.reshape(-1) - b_red
+            # shared scatter-free core; per-point partials complete
+            # over the 'obs' shard INSIDE (Hpp inversion and the Schur
+            # cross terms need whole points)
+            Hcc_l, bc_l, S_l, bcorr_l, W, Hpp_inv, bp = schur_partials(
+                local_prob(cam_pose, point_xyz), lam, huber_delta,
+                n_cams=C, obs_psum=lambda x: jax.lax.psum(x, "obs"))
+            # camera-system partials reduce over the whole mesh (the
+            # obs-axis devices each computed the full per-point W, so
+            # their S partials are identical: average over 'obs')
+            Hcc = jax.lax.psum(Hcc_l, ("pt", "obs"))
+            bc = jax.lax.psum(bc_l, ("pt", "obs"))
+            S_corr = jax.lax.psum(S_l, "pt")
+            b_corr = jax.lax.psum(bcorr_l, "pt")
+            S, b_s = assemble_schur(Hcc, bc, S_corr, b_corr, lam,
+                                    cam_free)
 
             # replicated solve (identical on every device)
-            dxc = -jnp.linalg.solve(S + 1e-8 * jnp.eye(C * 6), b_s)
-            dxc = dxc.reshape(C, 6) * cam_free[:, None]
+            dxc = _solve_spd(S, b_s).reshape(C, 6) * cam_free[:, None]
 
             # shard-local landmark back-substitution: the per-point sum
             # W^T dxc = sum_o W_e[p,o]^T dxc[cam_po] spans ALL obs
             # slots of the point -> psum over the 'obs' axis
-            Wt_dxc = jax.lax.psum(
-                jnp.einsum("poab,poa->pb", W_e, dxc[obs_cam]), "obs")
+            Wt_dxc = jax.lax.psum(schur_wt_dxc(W, dxc.reshape(-1)),
+                                  "obs")
             dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + Wt_dxc)
             dxp = dxp * pt_free[:, None]
 
@@ -234,16 +203,16 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
     * the CAMERA state is sharded too — each 'pt' shard owns a
       contiguous block of C/n cameras (the psum variant replicates all
       cameras on every device);
-    * camera blocks travel the ring via ``jax.lax.ppermute``: at ring
-      step k, the block owned by shard (i+k) mod n visits shard i,
-      which accumulates the residual/Jacobian contributions of its
-      LOCAL landmarks' observations into that block's normal-equation
-      pieces.  The traveling block carries its partially-summed
-      Hcc/bc with it, so after a full revolution every block arrives
-      home fully reduced — an all-reduce expressed as neighbor
-      exchanges that ride ICI ring links;
-    * only the (6C, 6C) reduced camera system is ring-all-reduced and
-      solved replicated (it is tiny and independent of landmark count).
+    * every collective is an explicit ``jax.lax.ppermute`` neighbor
+      exchange riding ICI ring links: the camera state all-gathers by
+      circulating blocks, and the reduced camera system moves with a
+      REDUCE-SCATTER schedule — at each of the n-1 hops a shard
+      forwards the partially-summed camera-block ROWS destined for a
+      single owner and adds its local partial, so the per-hop payload
+      is (6C/n, 6C), not the naive ring-all-reduce's full (6C, 6C);
+    * the fully-summed row blocks then all-gather (same O(C/n)-rows
+      payload) for the replicated tiny solve.  Total bytes moved per
+      iteration: 2(n-1)/n x |S|, the classic ring all-reduce optimum.
 
     Requires a 1-D mesh with axis 'pt'; C is padded to a multiple of
     the shard count.  Numerically equivalent to the psum variant up to
@@ -296,19 +265,7 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
                     owner = (owner - 1) % n
             return full
 
-        def residual_jac(cam_full, point_xyz):
-            p = BundleProblem(cam_full, cam_fixed_p, point_xyz,
-                              point_fixed, obs_cam, obs_uv, obs_valid,
-                              obs_weight)
-            return _project_residual_jac(p)
-
-        def cost_of(cam_block, point_xyz):
-            cam_full = ring_poses(cam_block)
-            r, _, _, valid = residual_jac(cam_full, point_xyz)
-            e = jnp.linalg.norm(r, axis=-1)
-            w = obs_weight * huber_weight(e, huber_delta)
-            local = jnp.sum(jnp.where(valid, w * e * e, 0.0))
-            # ring all-reduce of the scalar cost (no psum)
+        def ring_sum_scalar(local):
             acc = local
             v = local
             for _ in range(n - 1):
@@ -316,86 +273,84 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
                 acc = acc + v
             return acc
 
+        def row_chunk(x, c):
+            """Camera-block row slice [c*6Cl, (c+1)*6Cl) of a (6C, ...)
+            partial (c is traced: dynamic slice)."""
+            return jax.lax.dynamic_slice_in_dim(x, c * 6 * Cl, 6 * Cl,
+                                                axis=0)
+
+        def ring_reduce_scatter_rows(x):
+            """Reduce-scatter over camera-block rows: shard i ends with
+            the FULLY summed rows it owns; each hop carries one
+            (6Cl, ...) chunk.  Chunk c starts at shard c+1 and hops
+            right, accumulating the local partial of every shard it
+            visits; after n-1 hops it is home and complete."""
+            acc = row_chunk(x, (i - 1) % n)
+            for t in range(1, n):
+                acc = jax.lax.ppermute(acc, "pt", fwd)
+                acc = acc + row_chunk(x, (i - 1 - t) % n)
+            return acc                                 # my rows, summed
+
+        def ring_allgather_rows(rows):
+            """Inverse: circulate each shard's (6Cl, ...) summed rows
+            so every shard reconstructs the full matrix."""
+            full = jnp.zeros((6 * C_pad,) + rows.shape[1:], rows.dtype)
+            blk = rows
+            owner = i
+            for k in range(n):
+                full = jax.lax.dynamic_update_slice_in_dim(
+                    full, blk, owner * 6 * Cl, axis=0)
+                if k < n - 1:
+                    blk = jax.lax.ppermute(blk, "pt", fwd)
+                    owner = (owner - 1) % n
+            return full
+
+        def local_prob(cam_full, point_xyz):
+            return BundleProblem(cam_full, cam_fixed_p, point_xyz,
+                                 point_fixed, obs_cam, obs_uv,
+                                 obs_valid, obs_weight)
+
+        def cost_of(cam_block, point_xyz):
+            cam_full = ring_poses(cam_block)
+            return ring_sum_scalar(_shard_cost(
+                local_prob(cam_full, point_xyz), huber_delta))
+
         cam_free_p = ~cam_fixed_p
 
         def lm_step(state, _):
             cam_block, point_xyz, lam, cost = state
             cam_full = ring_poses(cam_block)
-            r, Jc, Jp, valid = residual_jac(cam_full, point_xyz)
-            e = jnp.linalg.norm(r, axis=-1)
-            w = obs_weight * huber_weight(e, huber_delta)
-            w = jnp.where(valid, w, 0.0)
-            Jc = Jc * cam_free_p[obs_cam][..., None, None]
-            Jp = Jp * pt_free[:, None, None, None]
-            sw = w[..., None, None]
+            # shared scatter-free core (obs unsharded on this mesh)
+            Hcc_l, bc_l, S_l, bcorr_l, W, Hpp_inv, bp = schur_partials(
+                local_prob(cam_full, point_xyz), lam, huber_delta,
+                n_cams=C_pad)
+            # bundle the small (C, 6, 6+6+1) camera-block partials into
+            # the same reduce-scatter payload as the S rows: rows of
+            # [S_corr | Hcc | bc - b_corr] laid out as extra columns
+            extra = jnp.concatenate(
+                [Hcc_l.reshape(C_pad * 6, 6),
+                 (bc_l - bcorr_l).reshape(C_pad * 6, 1)], axis=1)
+            payload = jnp.concatenate([S_l, extra], axis=1)
+            mine = ring_reduce_scatter_rows(payload)   # (6Cl, 6C+7)
+            full = ring_allgather_rows(mine)           # (6C, 6C+7)
+            S_corr = full[:, :6 * C_pad]
+            Hcc = full[:, 6 * C_pad:6 * C_pad + 6].reshape(C_pad, 6, 6)
+            bvec = full[:, 6 * C_pad + 6].reshape(C_pad, 6)
 
-            Hpp = jnp.einsum("poia,poib->pab", Jp * sw, Jp)
-            bp = jnp.einsum("poia,poi->pa", Jp * sw, r)
-            tr = (Hpp[..., 0, 0] + Hpp[..., 1, 1] + Hpp[..., 2, 2]) / 3
-            Hpp = Hpp + ((lam + 1e-5 * tr)[..., None, None]
-                         * jnp.eye(3))
-            Hpp = jnp.where(pt_free[:, None, None], Hpp,
-                            jnp.eye(3)[None])
-            Hpp_inv = jnp.linalg.inv(Hpp)
-            bp = bp * pt_free[:, None]
-
-            # per-camera blocks from LOCAL landmarks via one-hot GEMM
-            onehot = (obs_cam.reshape(-1)[:, None]
-                      == jnp.arange(C_pad)[None, :]).astype(jnp.float32)
-            Hcc_l = jnp.dot(
-                onehot.T,
-                jnp.einsum("poia,poib->poab", Jc * sw,
-                           Jc).reshape(-1, 36),
-                preferred_element_type=jnp.float32).reshape(C_pad, 6, 6)
-            bc_l = jnp.dot(
-                onehot.T,
-                jnp.einsum("poia,poi->poa", Jc * sw, r).reshape(-1, 6),
-                preferred_element_type=jnp.float32)
-
-            # ring reduce: each shard's camera block travels home
-            # accumulating every shard's local contribution.  Here the
-            # traveling payload is the per-block slice of (Hcc, bc):
-            # start with MY contribution to the block owned by my right
-            # neighbor's ... simplest equivalent: ring all-reduce the
-            # (C_pad, ...) partials by neighbor exchange
-            def ring_sum(x):
-                acc = x
-                v = x
-                for _ in range(n - 1):
-                    v = jax.lax.ppermute(v, "pt", fwd)
-                    acc = acc + v
-                return acc
-
-            Hcc = ring_sum(Hcc_l)
-            bc = ring_sum(bc_l)
+            # assemble: damp/pin Hcc, S = Hcc_d - S_corr (b_corr is
+            # already folded into bvec)
             Hcc = Hcc + (lam * jnp.eye(6))[None]
             Hcc = jnp.where(cam_free_p[:, None, None], Hcc,
                             jnp.eye(6)[None])
-            bc = bc * cam_free_p[:, None]
-
-            # local Schur correction, ring-all-reduced
-            W_e = jnp.einsum("poia,poib->poab", Jc * sw, Jp)
-            G3 = onehot.reshape(point_xyz.shape[0], -1, C_pad)
-            Wp = jnp.einsum("poc,poab->pcab", G3, W_e)
-            Wf = Wp.transpose(1, 2, 0, 3).reshape(C_pad * 6, -1)
-            Y = jnp.einsum("cpab,pbd->cpad",
-                           Wp.transpose(1, 0, 2, 3), Hpp_inv)
-            Yf = Y.transpose(0, 2, 1, 3).reshape(C_pad * 6, -1)
-            S_part = jnp.dot(Yf, Wf.T,
-                             preferred_element_type=jnp.float32)
-            b_part = Yf @ bp.reshape(-1)
-            S_red = ring_sum(S_part)
-            b_red = ring_sum(b_part)
-
             ii = jnp.arange(C_pad)
             Hcc_d = jnp.zeros((C_pad, 6, C_pad, 6)).at[ii, :, ii, :] \
                 .set(Hcc).reshape(C_pad * 6, C_pad * 6)
-            S = Hcc_d - S_red
-            b_s = bc.reshape(-1) - b_red
-            dxc = -jnp.linalg.solve(S + 1e-8 * jnp.eye(C_pad * 6), b_s)
-            dxc = dxc.reshape(C_pad, 6) * cam_free_p[:, None]
+            S = Hcc_d - S_corr
+            b_s = (bvec * cam_free_p[:, None]).reshape(-1)
+            dxc = _solve_spd(S, b_s).reshape(C_pad, 6) \
+                * cam_free_p[:, None]
 
-            Wt_dxc = jnp.einsum("poab,poa->pb", W_e, dxc[obs_cam])
+            Wt_dxc = schur_wt_dxc(W, dxc.reshape(-1))
             dxp = -jnp.einsum("pab,pb->pa", Hpp_inv, bp + Wt_dxc)
             dxp = dxp * pt_free[:, None]
 
