@@ -199,8 +199,15 @@ def app_eval(s: Svar) -> int:
     ds, slam, ts, gt = _run_sequence(s)
     traj = None
     if gt is not None and len(gt) == len(ts):
+        # corrected trajectory when the SLAM exposes it (reference
+        # SaveTrajectory semantics: frames re-based on their reference
+        # keyframe's FINAL pose, so loop corrections apply to the
+        # whole path, not just frames after the closure)
+        pos = (slam.corrected_positions()
+               if hasattr(slam, "corrected_positions")
+               else slam.positions())
         traj = evaluate_trajectory(
-            ts, slam.positions(), ts, gt,
+            ts, pos, ts, gt,
             with_scale=bool(s.arg("eval.sim3", False,
                                   "Sim3 (monocular) alignment")))
     rep = EvalReport(s["dataset"], traj,

@@ -61,6 +61,17 @@ def _pose_cam_to_world(motion: str, i: int, n: int, radius: float):
         a = 2 * np.pi * i / max(n, 1)
         t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
         yaw = -a
+    elif motion == "ring_out":
+        # full circle looking OUTWARD at the surrounding cylinder: the
+        # classic corridor-style loop — each frame sees only its local
+        # arc of wall, so views overlap ONLY temporally-nearby frames
+        # and the revisit.  (The inward-looking "ring" sees the shared
+        # center world from everywhere, which lets mid-sequence
+        # closures anchor the map before any drift accumulates —
+        # useless for demonstrating closure-vs-drift improvement.)
+        a = 2 * np.pi * i / max(n, 1)
+        t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
+        yaw = np.pi - a
     else:  # orbit: look at the world center from a half circle
         a = 2 * np.pi * i / max(n, 1) * 0.5
         t = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])

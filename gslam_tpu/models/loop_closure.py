@@ -61,6 +61,10 @@ class LoopCloser:
         # below the tracker's gated matches — the verification RANSAC
         # needs a deeper hypothesis pool to find the true consensus
         self.ransac_B = ransac_B
+        # essential-graph edge selection (covisibility rigidity edges
+        # added to the correction graph, see close())
+        self.max_covis_edges = 3
+        self.covis_min_common = 20
         S = 512  # sparse slots per keyframe (>= distinct words/frame)
         self._slots = S
         self.bow_words = np.full((cap_frames, S), -1, np.int32)
@@ -68,6 +72,12 @@ class LoopCloser:
         self.n_kf = 0
         self.key = jax.random.PRNGKey(seed)
         self.closed: List[Tuple[int, int]] = []
+        # post-closure cooldown (reference loop-closing behavior): the
+        # map is consistent right after a correction; immediately
+        # re-closing the same revisit re-runs pose graph + global BA
+        # against its own correction noise and measurably churns ATE
+        self.cooldown = 8
+        self._last_closed_kf = -10**9
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -231,6 +241,8 @@ class LoopCloser:
         as rotation-only edges (diagonal information), so the corrected
         graph stays consistent with inertial rotation measurements.
         """
+        if kf_id - self._last_closed_kf < self.cooldown:
+            return arena, False
         ver = None
         cand = None
         for cand in self.detect(kf_id):
@@ -257,6 +269,28 @@ class LoopCloser:
         rel = [np.asarray(se3_mul(poses_cw[i], se3_inverse(poses_cw[j])))
                for i, j in zip(ei, ej)]
         w = [np.full(6, 1.0, np.float32) for _ in ei]
+        # ESSENTIAL-GRAPH edges (reference: the correction runs over
+        # covisibility edges, not just the temporal chain — SURVEY 3.4,
+        # Optimizer SIM3 edges): non-consecutive keyframe pairs with
+        # strong view overlap get rigidity edges from current
+        # estimates, so the loop error redistributes along actual
+        # covisibility instead of spreading uniformly over time.  At
+        # chain scale this is invisible; at KITTI-00 scale the
+        # chain-only graph under-constrains the correction.
+        from gslam_tpu.map.arena import covisibility_matrix
+
+        cov = np.asarray(covisibility_matrix(arena))[:F, :F]
+        for i in range(2, F):
+            row = cov[i, :i - 1]                  # strictly non-adjacent
+            nbrs = np.argsort(-row)[:self.max_covis_edges]
+            for j in nbrs:
+                if row[j] < self.covis_min_common:
+                    break
+                ei.append(i)
+                ej.append(int(j))
+                rel.append(np.asarray(se3_mul(
+                    poses_cw[i], se3_inverse(poses_cw[int(j)]))))
+                w.append(np.full(6, 1.0, np.float32))
         # loop edge: measured relative pose kf_id <- cand
         Z = se3_mul(T_loop_cw, se3_inverse(poses_cw[cand]))
         ei.append(kf_id)
@@ -313,9 +347,12 @@ class LoopCloser:
                                 arena.point_xyz))
         if global_ba_iters > 0:
             from gslam_tpu.opt.ba import global_bundle_adjust
+            from gslam_tpu.utils.timer import timer
 
-            arena, _ = global_bundle_adjust(arena, camera,
-                                            iters=global_ba_iters,
-                                            sweeps=1)
+            with timer.section("slam/loop_gba"):
+                arena, _ = global_bundle_adjust(arena, camera,
+                                                iters=global_ba_iters,
+                                                sweeps=1)
         self.closed.append((kf_id, cand))
+        self._last_closed_kf = kf_id
         return arena, True
