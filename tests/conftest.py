@@ -55,10 +55,14 @@ if _TEST_TIMEOUT_S > 0:
 
 @pytest.fixture(autouse=True)
 def _hang_guard(request):
+    cap = _TEST_TIMEOUT_S
+    m = request.node.get_closest_marker("timeout_s")
+    if m and m.args:
+        cap = float(m.args[0])       # per-test override (longrun tier)
     if _watchdog_file is not None:
         _watchdog_file.write(f"[watchdog] armed for {request.node.nodeid}"
-                             f" ({_TEST_TIMEOUT_S:.0f}s cap)\n")
-        faulthandler.dump_traceback_later(_TEST_TIMEOUT_S, exit=True,
+                             f" ({cap:.0f}s cap)\n")
+        faulthandler.dump_traceback_later(cap, exit=True,
                                           file=_watchdog_file)
     yield
     if _watchdog_file is not None:

@@ -1,0 +1,94 @@
+"""KITTI-00-shaped long run (round-3 verdict item 5; SURVEY §2 row 26).
+
+No real sequences exist in this environment (BASELINE config #3 gates
+on KITTI 00); this is the closest achievable analog: 1024 VGA textured
+frames over a TWO-LAP outward ring — every lap-2 frame genuinely
+revisits lap-1 ground, so the run exercises, together and at scale,
+everything the 48-frame instruments touch separately: keyframe
+management at 100+ KFs, live map hygiene against a bounded arena,
+multiple loop closures with cooldown, covisibility-edge pose graph,
+post-loop chunked global BA, and the corrected-trajectory export.
+
+Wall-clock and ATE from the recorded run live in BASELINE.md (the
+"long-run" row).  ~20-25 CPU-minutes: marked longrun + slow (full tier
+only), with a per-test watchdog override.
+"""
+
+import time
+
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.longrun,
+              pytest.mark.timeout_s(3600)]
+
+import jax.numpy as jnp
+import numpy as np
+
+from gslam_tpu.datasets.synthetic import SyntheticDataset
+from gslam_tpu.eval import evaluate_trajectory
+from gslam_tpu.models.keyframe_slam import KeyframeSLAM, SLAMConfig
+from gslam_tpu.ops.frontend import extract_features
+from gslam_tpu.ops.vocab import train_vocabulary
+
+
+def test_kitti00_shaped_two_lap_run():
+    ds = SyntheticDataset(n_frames=1024, n_points=1200, width=640,
+                          height=480, motion="ring_out", depth=True,
+                          texture=True, radius=14.0, world_extent=8.0,
+                          laps=2, noise=0.01)
+    ds.open("synth://")
+
+    # vocabulary from the first few frames of the same world
+    frames_it = iter(ds)
+    first = [next(frames_it) for _ in range(6)]
+    descs = []
+    for fr in first:
+        f = extract_features(jnp.asarray(fr.image), max_kps=256,
+                             threshold=0.08)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = train_vocabulary(np.concatenate(descs), k=6, L=2, seed=0)
+
+    cfg = SLAMConfig(max_kps=384, fast_threshold=0.08, ba_window=4,
+                     ba_points=384, ba_iters=2, cap_frames=256,
+                     cap_points=16384, cap_obs=65536,
+                     local_map_size=768, kf_max_gap=8)
+    slam = KeyframeSLAM(ds.camera, cfg, vocabulary=voc)
+    # repetitive wall texture aliases descriptor-only RANSAC around
+    # ~15 inliers; genuine revisits verify far above 40 (see the
+    # closure-improvement gate)
+    slam.loop_closer.min_inliers = 40
+    slam.loop_closer.min_gap = 10
+
+    gts, ts = [], []
+    t0 = time.time()
+    ds.open("synth://")        # rewind (iter() continues, open resets)
+    for i, fr in enumerate(iter(ds)):
+        slam.track(fr)
+        gts.append(fr.gt_pose[:3])
+        ts.append(fr.timestamp)
+    wall = time.time() - t0
+
+    n_kf = int(slam.arena.n_frames)
+    n_pts = int(slam.arena.point_valid.sum())
+    closures = slam.loop_closer.closed
+    m = evaluate_trajectory(np.asarray(ts), slam.corrected_positions(),
+                            np.asarray(ts), np.stack(gts),
+                            with_scale=False)
+    print(f"\nlongrun: {len(ts)} frames in {wall/60:.1f} min "
+          f"({len(ts)/wall:.2f} fps CPU), {n_kf} KFs, {n_pts} pts, "
+          f"closures={closures}, ATE={m.ate_rmse:.3f} m")
+
+    # scale actually reached: KITTI-00-shaped means 1000+ frames and
+    # 100+ keyframes through a BOUNDED arena
+    assert len(ts) == 1024
+    assert n_kf >= 100
+    assert not bool(slam.arena.overflow)
+    assert n_pts < cfg.cap_points
+    # multiple genuine closures across lap 2 (cooldown-separated)
+    assert len(closures) >= 2, closures
+    # trajectory bounded: the two-lap circumference is ~176 m; the
+    # recorded run measured ATE ~2.2 m (1.2% of path) — gate with
+    # headroom for platform jitter
+    assert m.ate_rmse < 5.0
+    # the watchdog-visible budget: the recorded run took ~21 min
+    assert wall < 2700
