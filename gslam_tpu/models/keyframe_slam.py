@@ -895,8 +895,12 @@ class KeyframeSLAM:
             gravity_w=jnp.asarray(self.gravity_w),
             bias_g=jnp.asarray(self.bias_g),
             bias_a=jnp.asarray(self.bias_a))
-        out, costs = vi_bundle_adjust(vip, iters=c.vi_ba_iters,
-                                      refine_gravity=True)
+        from gslam_tpu.opt.ba import resolve_ba_backend
+
+        out, costs = vi_bundle_adjust(
+            vip, iters=c.vi_ba_iters, refine_gravity=True,
+            backend=(resolve_ba_backend(vip.vision)
+                     if c.use_pallas else "jnp"))
         out_vel = np.asarray(out.vel)
         for f, k in loc.items():
             self.kf_vel[f] = out_vel[k]

@@ -113,11 +113,13 @@ def _factor_info(cov: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("iters", "huber_delta", "warm_start",
-                                   "refine_gravity"))
+                                   "refine_gravity", "backend",
+                                   "interpret"))
 def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
                      lm_lambda0: float = 1e-4, huber_delta: float = 0.01,
                      bias_prior: float = 1e4, warm_start: int = 2,
-                     refine_gravity: bool = False
+                     refine_gravity: bool = False, backend: str = "jnp",
+                     interpret: bool = False
                      ) -> Tuple[ViProblem, jnp.ndarray]:
     """Joint visual-inertial LM.  Returns (updated problem, costs).
 
@@ -207,13 +209,27 @@ def vi_bundle_adjust(problem: ViProblem, iters: int = 8,
         return jnp.einsum("ka,kab,kb->", r, infos, r)
 
     def vision_normal_eq(cam_pose, point_xyz, lam):
-        """Schur-reduced vision system (shared core in opt.ba)."""
+        """Schur-reduced vision system (shared core in opt.ba;
+        backend='pallas' = the fused VMEM kernel — the observation
+        planes derive from scan-invariant captures, so their prep
+        hoists out of the LM loop)."""
         prob = vis._replace(cam_pose=cam_pose, point_xyz=point_xyz)
+        if backend == "pallas":
+            from gslam_tpu.ops.pallas.schur import schur_reduce_pallas
+
+            return schur_reduce_pallas(prob, lam, huber_delta,
+                                       interpret=interpret)
         return schur_reduce(prob, lam, huber_delta)
 
     def total_cost(cam_pose, point_xyz, vel, bg, ba, dg):
-        vc = ba_cost(vis._replace(cam_pose=cam_pose, point_xyz=point_xyz),
-                     huber_delta)
+        vprob = vis._replace(cam_pose=cam_pose, point_xyz=point_xyz)
+        if backend == "pallas":
+            from gslam_tpu.ops.pallas.schur import ba_cost_pallas
+
+            vc = ba_cost_pallas(vprob, huber_delta,
+                                interpret=interpret)
+        else:
+            vc = ba_cost(vprob, huber_delta)
         r, _ = imu_terms(cam_pose, vel, bg, ba, dg)
         # the bias prior enters H as pure damping (no gradient/cost
         # term), so the accept objective is exactly the data cost

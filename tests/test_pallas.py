@@ -319,3 +319,26 @@ class TestGatedMatcherKernel:
                                       np.asarray(gold.idx))
         np.testing.assert_array_equal(np.asarray(out.valid),
                                       np.asarray(gold.valid))
+
+
+class TestViPallasBackend:
+    def test_vi_ba_backend_parity(self, rng):
+        """vi_bundle_adjust(backend='pallas') (interpret) walks the same
+        LM trajectory as the jnp backend: the fused Schur kernel slots
+        into the joint visual-inertial system unchanged."""
+        import jax
+
+        from tests.test_vi import TestViBundleAdjust
+
+        prob, _, _ = TestViBundleAdjust()._make_problem()
+        from gslam_tpu.opt.vi import vi_bundle_adjust
+
+        with jax.default_matmul_precision("highest"):
+            outj, cj = vi_bundle_adjust(prob, iters=5)
+            outp, cp = vi_bundle_adjust(prob, iters=5, backend="pallas",
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cj),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(outp.vision.cam_pose),
+                                   np.asarray(outj.vision.cam_pose),
+                                   atol=1e-4)
