@@ -84,11 +84,13 @@ def test_kitti00_shaped_two_lap_run():
     assert n_kf >= 100
     assert not bool(slam.arena.overflow)
     assert n_pts < cfg.cap_points
-    # multiple genuine closures across lap 2 (cooldown-separated)
+    # multiple genuine closures across lap 2 (cooldown-separated; the
+    # recorded run fired 8, each lap-2 KF against the lap-1 KF of the
+    # same arc: (65,2) (74,9) (83,17) ... (125,60))
     assert len(closures) >= 2, closures
     # trajectory bounded: the two-lap circumference is ~176 m; the
-    # recorded run measured ATE ~2.2 m (1.2% of path) — gate with
-    # headroom for platform jitter
-    assert m.ate_rmse < 5.0
-    # the watchdog-visible budget: the recorded run took ~21 min
+    # recorded run measured ATE 0.147 m (0.08% of path) — gate with
+    # an order of magnitude of headroom for platform jitter
+    assert m.ate_rmse < 1.5
+    # the watchdog-visible budget: the recorded run took 18.4 min
     assert wall < 2700
