@@ -324,3 +324,31 @@ def find_pnp_ransac(key, points3d: jnp.ndarray, rays: jnp.ndarray,
     err = err_fn(T, data)
     inl = jnp.isfinite(err) & (err < threshold) & valid
     return T, inl, inl.sum()
+
+
+@jax.jit
+def pose_information(T: jnp.ndarray, data: jnp.ndarray,
+                     weights: jnp.ndarray) -> jnp.ndarray:
+    """Gauss-Newton pose information H = sum_i w_i J_i^T J_i (6, 6).
+
+    The estimator-derived covariance the pose-graph edges want: the
+    same analytic 2x6 reprojection Jacobians as
+    :func:`refine_pose_gn`, evaluated AT the solution — in normalized
+    image-coordinate units (multiply by 1/sigma^2 of the measurement
+    noise for an absolute scale; edge builders typically normalize
+    relative scales instead).  data (N, 5) = [X | ray_xy].
+    """
+    pc = se3_apply(T, data[:, :3])
+    x, y = pc[:, 0], pc[:, 1]
+    z = jnp.maximum(pc[:, 2], _EPS)
+    iz = 1.0 / z
+    zero = jnp.zeros_like(x)
+    Jx = jnp.stack([iz, zero, -x * iz * iz,
+                    -x * y * iz * iz, 1.0 + x * x * iz * iz, -y * iz],
+                   -1)
+    Jy = jnp.stack([zero, iz, -y * iz * iz,
+                    -(1.0 + y * y * iz * iz), x * y * iz * iz, x * iz],
+                   -1)
+    J = jnp.stack([Jx, Jy], 1)                          # (N, 2, 6)
+    w = (weights * (pc[:, 2] > _EPS))[:, None, None]
+    return jnp.einsum("nia,nib->ab", J * w, J)

@@ -530,17 +530,13 @@ def build_problem_from_arena(arena, cam_ids: jnp.ndarray,
     return problem, obs_valid.any(-1)
 
 
-def motion_only_refine(arena, camera, iters: int = 5,
-                       max_obs_per_frame: Optional[int] = None):
-    """Refine EVERY keyframe pose against the current (fixed) landmarks
-    — the reference ``Optimizer::optimizePose`` over the whole map.
+def frame_obs_slabs(arena, camera, max_obs_per_frame: Optional[int] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame observation slabs: (data (F, K, 5) = [X | ray_xy],
+    weight (F, K)) gathered from the arena edge list.
 
-    With landmarks fixed each camera is independent, so this is one
-    vmapped motion-only Gauss-Newton over all frames: no Schur, no
-    coupling, O(F * K) memory at any map size.  Keyframe 0 is pinned.
-    """
-    from gslam_tpu.estimation.pnp import refine_pose_gn
-
+    Shared by :func:`motion_only_refine` and the loop closer's
+    estimator-derived pose-information computation."""
     F = arena.cap_frames
     E = arena.obs_frame.shape[0]
     K = max_obs_per_frame or arena.cap_kps
@@ -564,6 +560,22 @@ def motion_only_refine(arena, camera, iters: int = 5,
     data = jnp.zeros((F + 1, K, 5)).at[tgt_f, tgt_k].set(data_e)[:F]
     wgt = jnp.zeros((F + 1, K)).at[tgt_f, tgt_k].set(
         ok_s.astype(jnp.float32))[:F]
+    return data, wgt
+
+
+def motion_only_refine(arena, camera, iters: int = 5,
+                       max_obs_per_frame: Optional[int] = None):
+    """Refine EVERY keyframe pose against the current (fixed) landmarks
+    — the reference ``Optimizer::optimizePose`` over the whole map.
+
+    With landmarks fixed each camera is independent, so this is one
+    vmapped motion-only Gauss-Newton over all frames: no Schur, no
+    coupling, O(F * K) memory at any map size.  Keyframe 0 is pinned.
+    """
+    from gslam_tpu.estimation.pnp import refine_pose_gn
+
+    F = arena.cap_frames
+    data, wgt = frame_obs_slabs(arena, camera, max_obs_per_frame)
 
     poses0 = arena.frame_pose[:, :7]
     new_poses = jax.vmap(lambda T, d, w: refine_pose_gn(T, d, w,
