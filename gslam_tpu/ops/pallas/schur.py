@@ -413,3 +413,27 @@ def _cost_call(inv, pose_rt, pts_t, *, C: int, huber_delta: float,
     )(pose_rt, inv["camfree"], jnp.zeros((1, 1), jnp.float32),
       pts_t, inv["ptfree"], inv["cam"], inv["u"], inv["v"], inv["w"])
     return cost[0, 0]
+
+
+def partials_from_outs(outs, P: int, O: int, C: int, obs_cam):
+    """Kernel outputs -> camera-major PARTIAL pieces (no Hcc damping):
+    (Hcc (C,6,6), bvec = bc - b_corr (C,6), S_corr (6C,6C), SchurW,
+    Hpp_inv (P,3,3), bp (P,3)).
+
+    The distributed ring BA consumes these directly: the kernel's
+    per-shard partials ARE the reduce-scatter payload, so each shard's
+    whole Schur reduction runs in VMEM just like the single-device
+    path (damping/pinning happen after the cross-shard sum)."""
+    scorr, hcc, bvec, cost, hppinv, bp3, wout = outs
+    Hcc = hcc.reshape(6, C, 6).transpose(1, 0, 2)
+    S_corr = scorr.reshape(6, C, 6, C).transpose(1, 0, 3, 2) \
+        .reshape(6 * C, 6 * C)
+    bvec_c = bvec.reshape(6, C).T
+    i11, i21, i31, i22, i32, i33 = (hppinv[k, :P] for k in range(6))
+    Hpp_inv = jnp.stack([
+        jnp.stack([i11, i21, i31], -1),
+        jnp.stack([i21, i22, i32], -1),
+        jnp.stack([i31, i32, i33], -1)], -2)
+    bp = bp3[:, :P].T
+    W_e = wout[:, :P].reshape(6, 3, O, P).transpose(3, 2, 0, 1)
+    return Hcc, bvec_c, S_corr, SchurW(W_e, obs_cam), Hpp_inv, bp

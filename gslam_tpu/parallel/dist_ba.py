@@ -189,11 +189,14 @@ def distributed_bundle_adjust(problem: BundleProblem, mesh: Mesh,
     return out, costs
 
 
-@partial(jax.jit, static_argnames=("mesh", "iters", "huber_delta"))
+@partial(jax.jit, static_argnames=("mesh", "iters", "huber_delta",
+                                   "backend", "interpret"))
 def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
                                    iters: int = 10,
                                    lm_lambda0: float = 1e-4,
-                                   huber_delta: float = 0.01
+                                   huber_delta: float = 0.01,
+                                   backend: str = "jnp",
+                                   interpret: bool = False
                                    ) -> Tuple[BundleProblem, jnp.ndarray]:
     """Ring-exchange variant of the distributed Schur BA (SURVEY
     5.7/5.8's ring-attention analog).
@@ -250,6 +253,17 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
         i = jax.lax.axis_index("pt")
         pt_free = ~point_fixed
         fwd = [(k, (k + 1) % n) for k in range(n)]   # send to the right
+        if backend == "pallas":
+            # each shard's whole Schur reduction runs in the fused VMEM
+            # kernel — the distributed path is as fast per shard as the
+            # single-device one, and the kernel's partial outputs ARE
+            # the reduce-scatter payload (partials_from_outs)
+            from gslam_tpu.ops.pallas import schur as _ps
+
+            inv_prep = _ps._prep_invariant(
+                BundleProblem(jnp.zeros((C_pad, 7)), cam_fixed_p,
+                              point_xyz, point_fixed, obs_cam, obs_uv,
+                              obs_valid, obs_weight), _ps.TILE_P)
 
         def ring_poses(cam_block):
             """All-gather the camera state via n-1 neighbor exchanges
@@ -312,8 +326,16 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
 
         def cost_of(cam_block, point_xyz):
             cam_full = ring_poses(cam_block)
-            return ring_sum_scalar(_shard_cost(
-                local_prob(cam_full, point_xyz), huber_delta))
+            if backend == "pallas":
+                local = _ps._cost_call(
+                    inv_prep, _ps._pose_rt(cam_full),
+                    _ps._points_t(point_xyz, inv_prep["Pp"]),
+                    C=C_pad, huber_delta=huber_delta,
+                    tile_p=_ps.TILE_P, interpret=interpret)
+            else:
+                local = _shard_cost(local_prob(cam_full, point_xyz),
+                                    huber_delta)
+            return ring_sum_scalar(local)
 
         cam_free_p = ~cam_fixed_p
 
@@ -321,15 +343,27 @@ def distributed_bundle_adjust_ring(problem: BundleProblem, mesh: Mesh,
             cam_block, point_xyz, lam, cost = state
             cam_full = ring_poses(cam_block)
             # shared scatter-free core (obs unsharded on this mesh)
-            Hcc_l, bc_l, S_l, bcorr_l, W, Hpp_inv, bp = schur_partials(
-                local_prob(cam_full, point_xyz), lam, huber_delta,
-                n_cams=C_pad)
+            if backend == "pallas":
+                outs = _ps._schur_call(
+                    inv_prep, _ps._pose_rt(cam_full),
+                    _ps._points_t(point_xyz, inv_prep["Pp"]), lam,
+                    C=C_pad, huber_delta=huber_delta,
+                    tile_p=_ps.TILE_P, interpret=interpret)
+                Hcc_l, bvec_l, S_l, W, Hpp_inv, bp = \
+                    _ps.partials_from_outs(outs, point_xyz.shape[0],
+                                           obs_cam.shape[1], C_pad,
+                                           obs_cam)
+            else:
+                Hcc_l, bc_l, S_l, bcorr_l, W, Hpp_inv, bp = \
+                    schur_partials(local_prob(cam_full, point_xyz),
+                                   lam, huber_delta, n_cams=C_pad)
+                bvec_l = bc_l - bcorr_l
             # bundle the small (C, 6, 6+6+1) camera-block partials into
             # the same reduce-scatter payload as the S rows: rows of
             # [S_corr | Hcc | bc - b_corr] laid out as extra columns
             extra = jnp.concatenate(
                 [Hcc_l.reshape(C_pad * 6, 6),
-                 (bc_l - bcorr_l).reshape(C_pad * 6, 1)], axis=1)
+                 bvec_l.reshape(C_pad * 6, 1)], axis=1)
             payload = jnp.concatenate([S_l, extra], axis=1)
             mine = ring_reduce_scatter_rows(payload)   # (6Cl, 6C+7)
             full = ring_allgather_rows(mine)           # (6C, 6C+7)

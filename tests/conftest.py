@@ -45,7 +45,7 @@ import pytest  # noqa: E402
 # would swallow a stderr dump and faulthandler's _exit() discards the
 # capture buffers (ci.sh cats the log after a failed run).  Generous
 # cap: slow-tier tests legitimately compile for minutes on this host.
-_TEST_TIMEOUT_S = float(os.environ.get("GSLAM_TEST_TIMEOUT", "900"))
+_TEST_TIMEOUT_S = float(os.environ.get("GSLAM_TEST_TIMEOUT", "1800"))
 _WATCHDOG_LOG = os.environ.get("GSLAM_WATCHDOG_LOG",
                                "/tmp/gslam_watchdog.log")
 _watchdog_file = None
