@@ -327,10 +327,15 @@ class KeyframeSLAM:
         # export (reference: ORB-SLAM-style SaveTrajectory re-bases
         # every frame on its reference keyframe's FINAL pose, so loop/
         # global-BA corrections apply retroactively to the whole path):
-        # pose_wc = T_rel o T_wk  with  T_rel = pose_wc o T_kw
+        # pose_wc = T_wk o T_rel  with  T_rel = T_kw o pose_wc — the
+        # frame's pose expressed IN the keyframe's camera frame, which
+        # is the quantity invariant under a world-side correction of
+        # the keyframe.  (The previous pose_wc o T_kw ordering applied
+        # corrections in the frame's camera axes: error grew linearly
+        # with correction magnitude.)
         kf = self.last_kf_id
         if kf >= 0:
-            rel = se3_mul(self.pose_wc, self.arena.frame_pose[kf][:7])
+            rel = se3_mul(self.arena.frame_pose[kf][:7], self.pose_wc)
             self._traj_rel.append((kf, np.asarray(rel)))
         else:
             self._traj_rel.append((-1, np.asarray(self.pose_wc)))
@@ -919,15 +924,20 @@ class KeyframeSLAM:
         keyframe's FINAL (loop-corrected / globally-adjusted) pose —
         the reference's SaveTrajectory semantics.  The live
         ``trajectory`` list keeps the poses as estimated at track time
-        (a closure only benefits frames after it there)."""
-        out = []
-        for kf, rel in self._traj_rel:
-            if kf < 0:
-                out.append(rel)
-            else:
-                T_wk = se3_inverse(self.arena.frame_pose[kf][:7])
-                out.append(np.asarray(se3_mul(jnp.asarray(rel), T_wk)))
-        return np.stack(out) if out else np.zeros((0, 7))
+        (a closure only benefits frames after it there).  One batched
+        rebase — the se3 ops broadcast over leading axes, so a
+        1024-frame export is two dispatches, not two per frame."""
+        if not self._traj_rel:
+            return np.zeros((0, 7))
+        kf_ids = np.asarray([k for k, _ in self._traj_rel])
+        rels = np.stack([r for _, r in self._traj_rel]).astype(np.float32)
+        out = rels.copy()
+        sel = kf_ids >= 0
+        if sel.any():
+            T_wk = se3_inverse(
+                self.arena.frame_pose[jnp.asarray(kf_ids[sel]), :7])
+            out[sel] = np.asarray(se3_mul(T_wk, jnp.asarray(rels[sel])))
+        return out
 
     def corrected_positions(self) -> np.ndarray:
         tr = self.corrected_trajectory()

@@ -90,17 +90,26 @@ class LoopCloser:
         bow, _ = transform_sparse(self.voc, desc, valid,
                                   use_pallas=self.use_pallas)
         # _sparsify_words compacts valid (word, weight) runs to the
-        # front, so truncating to the slab keeps the heaviest-possible
-        # prefix; distinct words per frame <= descriptor count, so the
-        # slab only binds when desc count > slots
-        if desc.shape[0] > self._slots:
-            raise ValueError(
-                f"descriptor capacity {desc.shape[0]} exceeds the "
-                f"{self._slots}-slot BoW slab; raise LoopCloser slots")
+        # front (ordered by word id, not weight).  The slab binds only
+        # when a frame carries more DISTINCT words than slots — gate on
+        # the actual word count, not the descriptor capacity (a
+        # max_kps=1024 config with mostly-padding frames must not
+        # crash); if it does bind, keep the S heaviest words and
+        # re-L1-normalize: the best S-sparse approximation of the
+        # vector, so stored scores stay comparable.
         S = self._slots
-        n = min(S, bow.words.shape[0])
-        self.bow_words[kf_id, :n] = np.asarray(bow.words[:n])
-        self.bow_weights[kf_id, :n] = np.asarray(bow.weights[:n])
+        words = np.asarray(bow.words)
+        weights = np.asarray(bow.weights)
+        n_valid = int((words >= 0).sum())
+        if n_valid > S:
+            order = np.argsort(-weights)[:S]
+            words, weights = words[order], weights[order]
+            weights = weights / max(float(weights.sum()), 1e-12)
+            n = S
+        else:
+            n = min(S, words.shape[0])
+        self.bow_words[kf_id, :n] = words[:n]
+        self.bow_weights[kf_id, :n] = weights[:n]
         self.n_kf = max(self.n_kf, kf_id + 1)
 
     def query(self, bow: SparseBow, n: Optional[int] = None) -> np.ndarray:
@@ -294,10 +303,22 @@ class LoopCloser:
         data_f, wgt_f = frame_obs_slabs(arena, camera)
         H_kf = np.asarray(jax.vmap(pose_information)(
             arena.frame_pose[:arena.cap_frames, :7], data_f, wgt_f))[:F]
-        d_kf = np.maximum(np.einsum("fii->fi", H_kf), 1e-6)   # (F, 6)
+        diag = np.einsum("fii->fi", H_kf)                     # (F, 6)
+        # hygiene-culled keyframes (erase_frame invalidates every
+        # observation) have an exactly-zero Hessian; without a rescue
+        # their TWO chain edges both collapse to ~zero information and
+        # the culled frame — plus every landmark/trajectory frame
+        # referenced to it — is left at its drifted pose while the
+        # neighbours get corrected.  Degenerate frames get unit-scale
+        # information instead: carried rigidly with the chain, exactly
+        # the pre-estimator-weight behaviour for frames with no data.
+        degenerate = diag.max(axis=1) < 1e-6
+        d_kf = np.maximum(diag, 1e-6)
         scale = np.median(d_kf[np.asarray(
-            arena.frame_valid[:F])]) if F else 1.0
+            arena.frame_valid[:F]) & ~degenerate]) \
+            if F and (~degenerate).any() else 1.0
         d_kf = d_kf / max(scale, 1e-9)
+        d_kf[degenerate] = 1.0
 
         def edge_info(i, j):
             return (1.0 / (1.0 / d_kf[i] + 1.0 / d_kf[j])) \
@@ -402,9 +423,11 @@ class LoopCloser:
             from gslam_tpu.utils.timer import timer
 
             with timer.section("slam/loop_gba"):
-                arena, _ = global_bundle_adjust(arena, camera,
-                                                iters=global_ba_iters,
-                                                sweeps=1)
+                # honor the system-level Pallas opt-out: None lets
+                # resolve_ba_backend pick, "jnp" forces the gold path
+                arena, _ = global_bundle_adjust(
+                    arena, camera, iters=global_ba_iters, sweeps=1,
+                    backend=None if self.use_pallas else "jnp")
         self.closed.append((kf_id, cand))
         self._last_closed_kf = kf_id
         return arena, True

@@ -289,34 +289,6 @@ def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
     return (w << np.arange(32, dtype=np.uint32)).sum(-1).astype(np.uint32)
 
 
-def _binary_kmeans(bits: np.ndarray, k: int, rng, iters: int = 8
-                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """k-means over binary vectors: majority-vote centres, Hamming
-    assignment (kmeans++-style seeding).  Returns (centres_bits (k, B),
-    assignment (N,))."""
-    N = bits.shape[0]
-    if N == 0:
-        return np.zeros((k, bits.shape[1]), np.uint8), np.zeros(0, np.int64)
-    # seeding: first random, rest by distance-weighted choice
-    centres = [bits[rng.integers(N)]]
-    d_min = None
-    for _ in range(1, k):
-        d = (bits != centres[-1][None]).sum(-1)
-        d_min = d if d_min is None else np.minimum(d_min, d)
-        p = d_min.astype(np.float64) + 1e-3
-        centres.append(bits[rng.choice(N, p=p / p.sum())])
-    C = np.stack(centres)
-    assign = np.zeros(N, np.int64)
-    for _ in range(iters):
-        d = (bits[:, None, :] != C[None, :, :]).sum(-1)  # (N, k)
-        assign = d.argmin(1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                C[j] = (bits[m].mean(0) >= 0.5).astype(np.uint8)
-    return C, assign
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _assign_chunk(packed: jnp.ndarray, gid: jnp.ndarray,
                   centres: jnp.ndarray, k: int) -> jnp.ndarray:

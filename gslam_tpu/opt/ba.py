@@ -594,7 +594,8 @@ def global_bundle_adjust(arena, camera, iters: int = 10,
                          max_cams: Optional[int] = None,
                          max_points: Optional[int] = 4096,
                          max_obs_per_point: int = 16, mesh=None,
-                         sweeps: int = 2, n_gauge: int = 1):
+                         sweeps: int = 2, n_gauge: int = 1,
+                         backend: Optional[str] = None):
     """Global BA over the whole arena (reference: full-BundleGraph
     optimize after loop closure, SURVEY 3.4).
 
@@ -677,7 +678,8 @@ def global_bundle_adjust(arena, camera, iters: int = 10,
             else:
                 problem, stats = bundle_adjust(
                     problem, iters=iters,
-                    backend=resolve_ba_backend(problem))
+                    backend=(backend if backend is not None
+                             else resolve_ba_backend(problem)))
                 costs = stats.cost
             arena = write_back_to_arena(arena, problem, cam_ids,
                                         point_ids)

@@ -111,6 +111,38 @@ class TestKeyframeSLAME2E:
         assert slam2.stats[-1]["n_inliers"] >= 20
 
 
+class TestCorrectedTrajectoryRebase:
+    def test_world_side_correction_moves_frames_with_keyframes(self):
+        """Regression: the SaveTrajectory-style export must apply a
+        keyframe correction in WORLD axes (corrected = T_wk' o T_kc).
+        The earlier pose_wc o T_kw ordering applied it in the frame's
+        camera axes — error grew linearly with correction size.
+        Contract: left-multiplying every keyframe's world pose by a
+        rigid G must left-multiply every exported frame pose by G."""
+        from gslam_tpu.core.se3 import se3_exp, se3_inverse, se3_mul
+
+        ds = make_ds()
+        slam = KeyframeSLAM(ds.camera, SLAMConfig(**CFG))
+        for fr in ds:
+            slam.track(fr)
+        assert all(kf >= 0 for kf, _ in slam._traj_rel)
+        base = slam.corrected_trajectory()
+
+        G = se3_exp(jnp.asarray([0.3, -0.2, 0.5, 0.2, -0.1, 0.15]))
+        F = int(slam.arena.n_frames)
+        pose_cw = slam.arena.frame_pose[:F, :7]
+        new_cw = se3_mul(pose_cw, se3_inverse(G))   # T_wk' = G o T_wk
+        slam.arena = slam.arena.replace(
+            frame_pose=slam.arena.frame_pose.at[:F, :7].set(new_cw))
+
+        corr = slam.corrected_trajectory()
+        expect = np.asarray(se3_mul(G, jnp.asarray(base)))
+        # quaternion double cover: compare via position + rotated axes
+        assert np.allclose(corr[:, :3], expect[:, :3], atol=1e-4)
+        dq = np.abs(np.sum(corr[:, 3:7] * expect[:, 3:7], axis=1))
+        assert np.all(dq > 1.0 - 1e-5)
+
+
 class TestStereoE2E:
     def test_stereo_depth_from_pair(self):
         """Stereo matching recovers depth on a rendered stereo pair."""
