@@ -7,10 +7,13 @@ at 512 kps (measured r4: HALF the tracking step).  This kernel removes
 the gather entirely:
 
 * each keypoint's 32x32 patch is staged from the VMEM-resident
-  (transposed) image into scratch with ONE unaligned dynamic slice —
-  transposing the image outside means the slice lands patch-transposed
-  (c, r), exactly the layout the selection GEMM wants, with no
-  in-kernel transpose or cross-lane reshape;
+  (transposed) image with ONE ALIGNED dynamic slice, then two
+  tpu.dynamic_rotate ops roll the true window corner to the origin
+  (Mosaic proves only 8-/128-aligned dynamic starts, so the corner
+  aligns DOWN and the roll absorbs the sub-tile shift) — transposing
+  the image outside means the slice lands patch-transposed (c, r),
+  exactly the layout the selection GEMM wants, with no in-kernel
+  transpose or cross-lane reshape;
 * the rotated integer sample positions are computed on the VPU from
   the pattern constants ((256, 1) column layout so broadcasts never
   need a lane<->sublane transpose), identical rounding to the jnp path
@@ -22,6 +25,11 @@ the gather entirely:
   MXU plus a masked lane-reduction; one-hot f32 selection is EXACT, so
   descriptors are BIT-EQUAL to the jnp path for every valid keypoint
   (invalid keypoints are zeroed by the caller, as in the jnp path).
+
+An earlier variant widened the one-hot extents to the aligned staging
+window ((40, 160)) instead of rolling; compaction to (32, 32) halves
+the padded-MXU-tile count per endpoint and measured 1.8x faster
+on-chip (570 -> 312 us at K=512), bit-equal.
 
 Reference: ORB-SLAM-style plugin frontends (SURVEY 3.2 HOT LOOP);
 the reference CPU code rotates a learned pattern per keypoint — same
@@ -45,39 +53,57 @@ PS = 32                     # patch size (covers radius-13 pattern + subpixel)
 PSX = PS + 8                # staged sublane extent: Mosaic can only
                             # prove dynamic sublane starts that are
                             # 8-aligned, so the x-corner is aligned
-                            # DOWN and the one-hot absorbs the shift
-PSY = PS + 128              # staged lane extent: lane starts must be
-                            # 128-aligned (same alignment trick)
-TILE_K = 8                  # keypoints per grid step
+                            # DOWN and the roll absorbs the shift
+PSY2 = 256                  # staged lane extent: tpu.dynamic_rotate
+                            # only lowers for lane dims that are
+                            # multiples of 128, so the kernel stages
+                            # 2 lane tiles and ROLLS the true window
+                            # to the origin
+TILE_K = 8                  # keypoints per grid step (swept on-chip:
+                            # 16 ran 2.1x slower — register/VMEM
+                            # pressure breaks the slice/roll/dot
+                            # pipeline — and 4 is an illegal <8-sublane
+                            # output block)
 
 
 def _brief_kernel(cx_ref, cy_ref, ca_ref, sa_ref, x0_ref, y0_ref,
-                  imgT_ref, pat_ref, out_ref, patches):
-    t = pl.program_id(0)
+                  imgT_ref, pat_ref, out_ref):
+    """Roll-compacted one-hot selection (module docstring).
+
+    Sublane rotates miscompile for NEGATIVE shifts in current Mosaic
+    (probed on-chip: shift -5 on 40 rows landed at -229); both shifts
+    are therefore passed as positive residues."""
     p1x = pat_ref[:, 0:1]                       # (BITS, 1)
     p1y = pat_ref[:, 1:2]
     p2x = pat_ref[:, 2:3]
     p2y = pat_ref[:, 3:4]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (BITS, PSX), 1)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (BITS, PSY), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BITS, PS), 1)
 
     ohs = [None] * (4 * TILE_K)
+    patches = [None] * TILE_K
+    t = pl.program_id(0)
     for i in range(TILE_K):
         k = t * TILE_K + i
         cx = cx_ref[0, k]
         cy = cy_ref[0, k]
         ca = ca_ref[0, k]
         sa = sa_ref[0, k]
-        x0 = x0_ref[0, k]                       # already 8-aligned
+        x0 = x0_ref[0, k]                       # TRUE window corner
         y0 = y0_ref[0, k]
+        x0a = (x0 // 8) * 8
+        y0a = (y0 // 128) * 128
         # stage the transposed patch: imgT[x, y] = img[y, x], so the
         # slice IS patchT[c, r] = img[y0+r, x0+c]
-        patches[i] = imgT_ref[pl.ds(pl.multiple_of(x0, 8), PSX),
-                              pl.ds(pl.multiple_of(y0, 128), PSY)]
+        raw = imgT_ref[pl.ds(pl.multiple_of(x0a, 8), PSX),
+                       pl.ds(pl.multiple_of(y0a, 128), PSY2)]
+        # roll the true corner to the origin (positive residues only)
+        r = pltpu.roll(raw, shift=PSY2 - (y0 - y0a), axis=1)
+        r = pltpu.roll(r, shift=PSX - (x0 - x0a), axis=0)
+        patches[i] = r[0:PS, 0:PS]              # patchT[c, r] at (x0, y0)
         x0f = x0.astype(jnp.float32)
         y0f = y0.astype(jnp.float32)
         # rotated absolute sample coords, rounded EXACTLY as jnp does,
-        # re-based to the patch corner (always in-bounds for
+        # re-based to the window corner (always in-bounds for
         # border-respecting keypoints); parenthesization matches the
         # jnp path (cx + (rotated offset)) — a different f32
         # association would flip bits near .5
@@ -85,22 +111,23 @@ def _brief_kernel(cx_ref, cy_ref, ca_ref, sa_ref, x0_ref, y0_ref,
         r1 = jnp.round(cy + (p1x * sa + p1y * ca)) - y0f
         c2 = jnp.round(cx + (p2x * ca - p2y * sa)) - x0f
         r2 = jnp.round(cy + (p2x * sa + p2y * ca)) - y0f
-        for e, (v, hi) in enumerate(((c1, PSX), (r1, PSY),
-                                     (c2, PSX), (r2, PSY))):
-            vi = v.clip(0, hi - 1).astype(jnp.int32)     # exact: round
-            ohs[4 * i + e] = ((iota_c if hi == PSX else iota_r) == vi
-                              ).astype(jnp.float32)      # whole f32
+        for e, v in enumerate((c1, r1, c2, r2)):
+            vi = v.clip(0, PS - 1).astype(jnp.int32)     # exact: round
+            ohs[4 * i + e] = (iota == vi).astype(jnp.float32)
 
     def stack(sel):
         return jnp.stack([ohs[4 * i + sel] for i in range(TILE_K)], 0)
 
-    C1, R1 = stack(0), stack(1)                 # (TK, BITS, PSX|PS)
+    C1, R1 = stack(0), stack(1)                 # (TK, BITS, PS)
     C2, R2 = stack(2), stack(3)
-    P = patches[:]                              # (TK, PSX_c, PS_r)
+    P = jnp.stack(patches, 0)                   # (TK, PS_c, PS_r)
     dn = (((2,), (1,)), ((0,), (0,)))           # batch k, contract c
-    # HIGHEST precision: the default MXU pass truncates patch
-    # intensities to bf16, flipping a<b comparisons of close samples
-    # (~1% of bits on-chip); exact selection needs f32 products
+    # HIGHEST keeps selection exact (the default MXU pass truncates
+    # patch intensities to bf16 and flips ~1% of a<b bits).  A manual
+    # bf16x3 split of only the patch (3 one-pass dots, also exact) was
+    # MEASURED SLOWER — 375 vs 312 us at K=512 — the three small dots
+    # + VPU splits cost more than HIGHEST's extra passes at this
+    # padded-tile size, so the kernel is not MXU-throughput-bound.
     U1 = jax.lax.dot_general(C1, P, dn,
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
@@ -127,17 +154,14 @@ def brief_bits_pallas(img_blur: jnp.ndarray, uv: jnp.ndarray,
     cy = jnp.pad(uv[:, 1], pad)
     ca = jnp.pad(jnp.cos(angle), pad)
     sa = jnp.pad(jnp.sin(angle), pad)
-    # Mosaic can only prove ALIGNED dynamic slice starts (sublane
-    # multiples of 8, lane multiples of 128): both corners align DOWN
-    # and the staged patch is widened so the one-hot picks within it
+    # TRUE window corners; the kernel aligns them down (slice) and
+    # rolls the residue away
     x0 = (jnp.round(cx) - PS // 2).astype(jnp.int32).clip(0, W - PS)
-    x0 = (x0 // 8) * 8
     y0 = (jnp.round(cy) - PS // 2).astype(jnp.int32).clip(0, H - PS)
-    y0 = (y0 // 128) * 128
 
     # pad the transposed image so every aligned slice is in-bounds
     px_ = max(0, ((W - PS) // 8) * 8 + PSX - W)
-    py_ = max(0, ((H - PS) // 128) * 128 + PSY - H)
+    py_ = max(0, ((H - PS) // 128) * 128 + PSY2 - H)
     imgT = jnp.pad(img_blur.T, ((0, px_), (0, py_)))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -148,7 +172,6 @@ def brief_bits_pallas(img_blur: jnp.ndarray, uv: jnp.ndarray,
         out_specs=pl.BlockSpec((TILE_K, BITS), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Kp, BITS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_K, PSX, PSY), jnp.float32)],
         interpret=interpret,
     )(cx[None], cy[None], ca[None], sa[None], x0[None], y0[None],
       imgT, jnp.asarray(_PATTERN))
