@@ -83,6 +83,40 @@ class TestLoader:
         assert ld.next() is None
         ld.close()
 
+    @pytest.mark.timeout_s(120)
+    def test_slow_inorder_frame_no_deadlock(self, tmp_path, rng):
+        """Regression: ring starvation deadlock (round-3 verdict weak 7).
+
+        With a purely global queue cap, fast workers could fill the
+        ring with indices AHEAD of a slow worker's in-order frame;
+        then every worker waited for room while the consumer waited
+        for that frame (all threads futex_wait — reproduced under
+        full-suite CPU contention and diagnosed via the watchdog).
+        Shape it deterministically: frame 0 decodes ~1000x slower than
+        the rest (large PNG vs 8x8), ring=1 + 2 threads gives the
+        smallest cap, so the flood fills the queue long before frame 0
+        lands.  Without the in-order admission fix in
+        native/gslam_native.cpp::Loader::worker this test hangs; the
+        conftest watchdog turns that into a dumped failure."""
+        paths, golds = [], []
+        big = rng.integers(0, 255, (1600, 1200), np.uint8)
+        p0 = str(tmp_path / "000.png")
+        write_png(p0, big)
+        paths.append(p0)
+        golds.append(big.astype(np.float32) / 255.0)
+        for i in range(1, 9):
+            arr = rng.integers(0, 255, (8, 8), np.uint8)
+            p = str(tmp_path / f"{i:03d}.png")
+            write_png(p, arr)
+            paths.append(p)
+            golds.append(arr.astype(np.float32) / 255.0)
+        ld = native_loader.NativeLoader(paths, n_threads=2, ring=1)
+        for i in range(9):
+            fr = ld.next()
+            np.testing.assert_allclose(fr, golds[i], atol=1e-6)
+        assert ld.next() is None
+        ld.close()
+
 
 class TestJpeg:
     """Baseline JPEG decoder vs PIL gold (lossy: compare against PIL's
