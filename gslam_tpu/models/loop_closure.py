@@ -105,6 +105,11 @@ class LoopCloser:
             order = np.argsort(-weights)[:S]
             words, weights = words[order], weights[order]
             weights = weights / max(float(weights.sum()), 1e-12)
+            # restore word-id order so the slab row layout stays
+            # uniform across both branches (a future merge-join scorer
+            # assuming sorted-word rows must not silently break)
+            o2 = np.argsort(words)
+            words, weights = words[o2], weights[o2]
             n = S
         else:
             n = min(S, words.shape[0])

@@ -28,8 +28,10 @@ the gather entirely:
 
 An earlier variant widened the one-hot extents to the aligned staging
 window ((40, 160)) instead of rolling; compaction to (32, 32) halves
-the padded-MXU-tile count per endpoint and measured 1.8x faster
-on-chip (570 -> 312 us at K=512), bit-equal.
+the padded-MXU-tile count per endpoint and measured ~2x faster
+on-chip (570 -> 286 us kernel-only at K=512, the recorded number in
+BASELINE.md; an earlier same-day run of the same kernel measured
+312 us — tunnel-host variance band), bit-equal.
 
 Reference: ORB-SLAM-style plugin frontends (SURVEY 3.2 HOT LOOP);
 the reference CPU code rotates a learned pattern per keypoint — same
@@ -96,9 +98,12 @@ def _brief_kernel(cx_ref, cy_ref, ca_ref, sa_ref, x0_ref, y0_ref,
         # slice IS patchT[c, r] = img[y0+r, x0+c]
         raw = imgT_ref[pl.ds(pl.multiple_of(x0a, 8), PSX),
                        pl.ds(pl.multiple_of(y0a, 128), PSY2)]
-        # roll the true corner to the origin (positive residues only)
-        r = pltpu.roll(raw, shift=PSY2 - (y0 - y0a), axis=1)
-        r = pltpu.roll(r, shift=PSX - (x0 - x0a), axis=0)
+        # roll the true corner to the origin (positive residues only;
+        # normalized mod the axis size — an aligned corner would
+        # otherwise pass shift == size, relying on implicit modular
+        # behavior of tpu.dynamic_rotate, as fastnms._roll also avoids)
+        r = pltpu.roll(raw, shift=(PSY2 - (y0 - y0a)) % PSY2, axis=1)
+        r = pltpu.roll(r, shift=(PSX - (x0 - x0a)) % PSX, axis=0)
         patches[i] = r[0:PS, 0:PS]              # patchT[c, r] at (x0, y0)
         x0f = x0.astype(jnp.float32)
         y0f = y0.astype(jnp.float32)
