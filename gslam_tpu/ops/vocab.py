@@ -351,7 +351,14 @@ def train_vocabulary(desc: np.ndarray, k: int = 8, L: int = 3,
     chunk = 1 << 17
 
     def assign_all(centres_packed, gid_np):
-        cj = jnp.asarray(centres_packed)
+        # pad the centre table to a power-of-two bucket: every level
+        # grows G*k tenfold, and an exact-shape table would recompile
+        # _assign_chunk per level (~30 s each behind a remote-compile
+        # tunnel); rows beyond G*k are never indexed (gid < G)
+        rows = centres_packed.shape[0]
+        cap = 1 << max(rows - 1, 1).bit_length()
+        cj = jnp.asarray(np.pad(centres_packed,
+                                ((0, cap - rows), (0, 0))))
         out = np.empty(N, np.int32)
         for s in range(0, N, chunk):
             e = min(N, s + chunk)

