@@ -132,6 +132,13 @@ def _run_sequence(s: Svar):
         import jax
 
         jax.profiler.start_trace(profile_dir)
+    # SURVEY section 2 row 25 (qviz watches the run LIVE): re-emit the
+    # interactive viewer every K keyframes via atomic file replace; the
+    # emitted HTML auto-reloads, so a browser shows the map growing
+    viz_live = s.arg("viz.live", 0,
+                     "re-emit the HTML viewer every K keyframes (0=off)")
+    viz_live_path = s.arg("out", "run") + ".html" if viz_live else ""
+    last_live_kf = 0
     gts, ts = [], []
     n = 0
     try:
@@ -151,6 +158,18 @@ def _run_sequence(s: Svar):
                 metrics.emit(frame=fr.id,
                              track_ms=1e3 * (time.perf_counter() - t0),
                              **row)
+            if viz_live and getattr(slam, "stats", None):
+                n_kf = slam.stats[-1].get("n_kf", 0)
+                if n_kf >= last_live_kf + viz_live:
+                    from gslam_tpu.app.webviz import export_run_html
+
+                    with timer.section("app/viz_live"):
+                        export_run_html(
+                            viz_live_path, slam,
+                            gt=np.stack(gts) if gts else None,
+                            title=f"{path} (live, frame {fr.id})",
+                            refresh_s=2.0)
+                    last_live_kf = n_kf
             n += 1
             if max_frames and n >= max_frames:
                 break
@@ -160,6 +179,14 @@ def _run_sequence(s: Svar):
             log.info("wrote profiler trace to %s", profile_dir)
         if metrics is not None:
             metrics._stream.close()
+    if viz_live:
+        # final emit with the reload timer OFF so the browser settles
+        from gslam_tpu.app.webviz import export_run_html
+
+        export_run_html(viz_live_path, slam,
+                        gt=np.stack(gts) if gts else None,
+                        title=f"{path} (finished)")
+        log.info("live viewer finalized at %s", viz_live_path)
     # SURVEY 5.4: Map::save analog — snapshot the arena pytree
     save_map = s.arg("save_map", "", "write the map arena (npz) here")
     if save_map and hasattr(slam, "arena"):

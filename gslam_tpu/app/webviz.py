@@ -20,6 +20,7 @@ Layers (matching qviz's SLAMVisualizer):
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -90,7 +91,8 @@ def export_html(out_path: str,
                 point_colors: Optional[np.ndarray] = None,
                 kf_poses: Optional[Sequence[np.ndarray]] = None,
                 covis: Optional[np.ndarray] = None,
-                title: str = "gslam_tpu run") -> str:
+                title: str = "gslam_tpu run",
+                refresh_s: float = 0.0) -> str:
     """Write the self-contained viewer; returns out_path.
 
     traj/gt: (N,3) positions; points: (P,3); point_colors: (P,3) in
@@ -111,15 +113,26 @@ def export_html(out_path: str,
         "covis": _round(covis, 3),
     }
     html = _TEMPLATE.replace("__DATA__", json.dumps(data)) \
-                    .replace("__TITLE__", title)
-    with open(out_path, "w") as f:
+                    .replace("__TITLE__", title) \
+                    .replace("__REFRESH_S__", repr(float(refresh_s)))
+    # atomic replace: live mode re-emits while a browser polls the file
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(html)
+    os.replace(tmp, out_path)
     return out_path
 
 
 def export_run_html(out_path: str, slam, gt: Optional[np.ndarray] = None,
-                    title: str = "gslam_tpu run") -> str:
-    """Export a finished SLAM run (any system with .positions())."""
+                    title: str = "gslam_tpu run",
+                    refresh_s: float = 0.0) -> str:
+    """Export a SLAM run (any system with .positions()).
+
+    ``refresh_s > 0`` embeds an auto-reload timer (camera view and
+    playback position survive the reload via localStorage), turning
+    the file into a LIVE view of an in-progress run when the app
+    re-emits it periodically (``play -viz.live K`` — the qviz analog
+    of watching the map grow; SURVEY section 2 row 25)."""
     traj = np.asarray(slam.positions())
     points = colors = covis = None
     kf_poses = None
@@ -134,7 +147,7 @@ def export_run_html(out_path: str, slam, gt: Optional[np.ndarray] = None,
         covis = covis_segments(arena)
     return export_html(out_path, traj, gt=gt, points=points,
                        point_colors=colors, kf_poses=kf_poses,
-                       covis=covis, title=title)
+                       covis=covis, title=title, refresh_s=refresh_s)
 
 
 _TEMPLATE = r"""<!DOCTYPE html>
@@ -187,6 +200,15 @@ const ext=Math.max(hi[0]-lo[0],hi[1]-lo[1],hi[2]-lo[2],1e-3);
 
 // ---- orbit camera ----
 let yaw=-0.6, pitch=-0.45, dist=ext*1.8, pan=[0,0,0];
+// live mode: restore the view across auto-reloads
+const REFRESH_S = __REFRESH_S__;
+try { const v = JSON.parse(localStorage.getItem('gslam_view')||'null');
+  if (REFRESH_S > 0 && v) { yaw=v.yaw; pitch=v.pitch; dist=v.dist;
+    pan=v.pan; } } catch(e) {}
+function saveView(){ if (REFRESH_S > 0) try { localStorage.setItem(
+  'gslam_view', JSON.stringify({yaw,pitch,dist,pan})); } catch(e) {} }
+if (REFRESH_S > 0) setTimeout(()=>{ saveView();
+  location.reload(); }, REFRESH_S*1000);
 function cam(){
   const cy=Math.cos(yaw), sy=Math.sin(yaw),
         cp=Math.cos(pitch), sp=Math.sin(pitch);
