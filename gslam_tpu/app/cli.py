@@ -139,25 +139,52 @@ def _run_sequence(s: Svar):
                      "re-emit the HTML viewer every K keyframes (0=off)")
     viz_live_path = s.arg("out", "run") + ".html" if viz_live else ""
     last_live_kf = 0
+    # batched dispatch (slam.track_batch): buffer this many frames and
+    # track them in one device round trip (SLAMConfig.dispatch_batch)
+    batch_k = int(getattr(getattr(slam, "cfg", None),
+                          "dispatch_batch", 1) or 1)
+    batch_k = batch_k if hasattr(slam, "track_batch") else 1
+    buf = []
     gts, ts = [], []
     n = 0
+
+    def _flush_batch():
+        if not buf:
+            return
+        n_stats0 = len(getattr(slam, "stats", []))
+        t0 = time.perf_counter()
+        with timer.section("app/frame"):
+            slam.track_batch([f for _, f in buf])
+            timer.block(None)
+        ms = 1e3 * (time.perf_counter() - t0) / len(buf)
+        if metrics is not None:
+            rows = getattr(slam, "stats", [])[n_stats0:]
+            for (fid, _), row in zip(buf, rows):
+                metrics.emit(frame=fid, track_ms=ms, **dict(row))
+        buf.clear()
+
     try:
         for i, fr in enumerate(ds):
             if i < skip:
                 continue
-            t0 = time.perf_counter()
-            with timer.section("app/frame"):
-                slam.track(fr)
-                timer.block(None)
+            if batch_k > 1:
+                buf.append((fr.id, fr))
+                if len(buf) >= batch_k:
+                    _flush_batch()
+            else:
+                t0 = time.perf_counter()
+                with timer.section("app/frame"):
+                    slam.track(fr)
+                    timer.block(None)
+                if metrics is not None:
+                    row = dict(slam.stats[-1]) \
+                        if getattr(slam, "stats", None) else {}
+                    metrics.emit(frame=fr.id,
+                                 track_ms=1e3 * (time.perf_counter() - t0),
+                                 **row)
             if fr.gt_pose is not None:
                 gts.append(fr.gt_pose[:3])
             ts.append(fr.timestamp)
-            if metrics is not None:
-                row = dict(slam.stats[-1]) if getattr(slam, "stats", None) \
-                    else {}
-                metrics.emit(frame=fr.id,
-                             track_ms=1e3 * (time.perf_counter() - t0),
-                             **row)
             if viz_live and getattr(slam, "stats", None):
                 n_kf = slam.stats[-1].get("n_kf", 0)
                 if n_kf >= last_live_kf + viz_live:
@@ -173,6 +200,7 @@ def _run_sequence(s: Svar):
             n += 1
             if max_frames and n >= max_frames:
                 break
+        _flush_batch()
     finally:
         if profile_dir:
             jax.profiler.stop_trace()

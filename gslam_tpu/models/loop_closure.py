@@ -325,17 +325,12 @@ class LoopCloser:
         d_kf = d_kf / max(scale, 1e-9)
         d_kf[degenerate] = 1.0
 
-        def edge_info(i, j):
-            return (1.0 / (1.0 / d_kf[i] + 1.0 / d_kf[j])) \
-                .astype(np.float32) * 2.0   # x2: harmonic mean of two
-            #                                 unit-scale infos is ~0.5
-
+        # edge information = elementwise harmonic combination of the
+        # endpoint informations x2 (harmonic mean of two unit-scale
+        # infos is ~0.5) — computed batched over the edge list below
         # odometry edges between consecutive KFs from current estimates
         ei = list(range(1, F))
         ej = list(range(0, F - 1))
-        rel = [np.asarray(se3_mul(poses_cw[i], se3_inverse(poses_cw[j])))
-               for i, j in zip(ei, ej)]
-        w = [edge_info(i, j) for i, j in zip(ei, ej)]
         # ESSENTIAL-GRAPH edges (reference: the correction runs over
         # covisibility edges, not just the temporal chain — SURVEY 3.4,
         # Optimizer SIM3 edges): non-consecutive keyframe pairs with
@@ -363,9 +358,16 @@ class LoopCloser:
                     break
                 ei.append(i)
                 ej.append(int(j))
-                rel.append(np.asarray(se3_mul(
-                    poses_cw[i], se3_inverse(poses_cw[int(j)]))))
-                w.append(edge_info(i, int(j)))
+        # chain + covisibility measurements and informations in ONE
+        # batched computation each (the per-edge dispatch loop this
+        # replaces cost ~2 device round-trips PER EDGE per closure —
+        # O(seconds) at KITTI-00 keyframe counts)
+        ei_a = np.asarray(ei, np.int64)
+        ej_a = np.asarray(ej, np.int64)
+        rel = list(np.asarray(se3_mul(poses_cw[ei_a],
+                                      se3_inverse(poses_cw[ej_a]))))
+        w = list((1.0 / (1.0 / d_kf[ei_a] + 1.0 / d_kf[ej_a]) * 2.0)
+                 .astype(np.float32))
         # loop edge: measured relative pose kf_id <- cand
         Z = se3_mul(T_loop_cw, se3_inverse(poses_cw[cand]))
         ei.append(kf_id)
@@ -397,21 +399,45 @@ class LoopCloser:
                 rel.append(np.asarray(Zi))
                 w.append(np.asarray(info))
 
+        # pad nodes/edges to bucket sizes: optimize_pose_graph is
+        # jitted per (N, E) shape, and exact shapes grow every closure
+        # — at KITTI-00 closure counts that is a fresh XLA compile per
+        # closure.  Padded nodes are fixed identities; padded edges
+        # are invalid (zero weight).
+        E_real = len(ei)
+        Np = max(64, 1 << (F - 1).bit_length())
+        Ep = max(256, 1 << (E_real - 1).bit_length())
+        poses_p = np.tile(np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+                          (Np, 1))
+        poses_p[:F] = np.asarray(poses_cw)
+        fixed_p = np.ones(Np, bool)
+        fixed_p[1:F] = False
+        ei_p = np.zeros(Ep, np.int32)
+        ej_p = np.zeros(Ep, np.int32)
+        ei_p[:E_real] = ei
+        ej_p[:E_real] = ej
+        rel_p = np.tile(np.array([0, 0, 0, 1, 0, 0, 0], np.float32),
+                        (Ep, 1))
+        rel_p[:E_real] = np.stack(rel)
+        w_p = np.zeros((Ep, 6), np.float32)
+        w_p[:E_real] = np.stack(w)
+        valid_p = np.zeros(Ep, bool)
+        valid_p[:E_real] = True
         g = PoseGraph(
-            poses=poses_cw,
-            fixed=jnp.zeros(F, bool).at[0].set(True),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            edge_rel=jnp.asarray(np.stack(rel)),
-            edge_valid=jnp.ones(len(ei), bool),
-            edge_weight=jnp.asarray(np.stack(w)))
+            poses=jnp.asarray(poses_p),
+            fixed=jnp.asarray(fixed_p),
+            edge_i=jnp.asarray(ei_p),
+            edge_j=jnp.asarray(ej_p),
+            edge_rel=jnp.asarray(rel_p),
+            edge_valid=jnp.asarray(valid_p),
+            edge_weight=jnp.asarray(w_p))
         out, costs = optimize_pose_graph(g, iters=15)
 
         # write corrected poses; carry each point rigidly with its
         # reference keyframe: X' = T_ref'^-1 * T_ref * X  (cam coords
         # preserved)
         old = poses_cw
-        new = out.poses
+        new = out.poses[:F]          # drop the shape-bucket padding
         from gslam_tpu.core.se3 import se3_apply
         from gslam_tpu.core.sim3 import sim3_from_se3
 

