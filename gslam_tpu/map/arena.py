@@ -299,6 +299,16 @@ def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
     return jnp.where(both, C, 0.0).astype(jnp.int32)
 
 
+def covisibility_row(arena: MapArena, frame_id: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(cap_frames,) shared-landmark counts of one frame vs all others
+    (one GEMV on the incidence matrix; self entry zeroed)."""
+    M = _incidence(arena)
+    row = jnp.dot(M[frame_id], M.T, preferred_element_type=jnp.float32)
+    row = row.at[frame_id].set(0.0)
+    return jnp.where(arena.frame_valid, row, 0.0).astype(jnp.int32)
+
+
 def covisibility_topk(arena: MapArena, frame_id: jnp.ndarray, k: int,
                       min_common: int = 15
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
