@@ -603,8 +603,16 @@ def merge_arenas(a: MapArena, b: MapArena,
     b_xyz = b.point_xyz
     b_normal = b.point_normal
     if transform_b is not None:
+        from gslam_tpu.core.sim3 import sim3_inverse
+
         T = jnp.asarray(transform_b, jnp.float32)
-        b_pose = sim3_mul(T[None], b_pose)
+        # poses are world->cam maps: rebasing b onto a's world is
+        # RIGHT-composition with T^-1 (a-world -> b-world -> cam).
+        # Left-multiplying T (the pre-round-5 code) moved the cameras
+        # OPPOSITE to the points — the merged map had every b-sequence
+        # camera on the wrong side of the world, caught by the fleet
+        # keyframe-ATE gate in __graft_entry__.dryrun_multichip.
+        b_pose = sim3_mul(b_pose, sim3_inverse(T)[None])
         b_xyz = sim3_apply(T[None], b_xyz)
         Ronly = T.at[:3].set(0.0).at[7].set(1.0)  # rotate normals only
         b_normal = sim3_apply(Ronly[None], b_normal)

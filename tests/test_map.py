@@ -272,8 +272,17 @@ class TestMergeArenas:
         # index offsets: b's single frame is now slot 1
         assert int(m.obs_frame[int(a.n_obs)]) == 1
         assert int(m.point_ref_frame[5]) == 1
-        np.testing.assert_allclose(np.asarray(m.frame_pose[1][:3]),
-                                   [1, 2, 3], atol=1e-6)
+        # the rebase must preserve each frame's CAMERA-coordinate view
+        # of its own points: pose' o T == pose (the pre-round-5 code
+        # left-composed T, moving cameras opposite to points)
+        from gslam_tpu.core.sim3 import sim3_apply
+
+        pc_before = np.asarray(sim3_apply(b.frame_pose[0][None],
+                                          jnp.asarray(xb)))
+        pc_after = np.asarray(sim3_apply(m.frame_pose[1][None],
+                                         m.point_xyz[5:10]))
+        np.testing.assert_allclose(pc_after, pc_before, rtol=1e-5,
+                                   atol=1e-6)
 
     def test_merge_capacity_checks(self):
         from gslam_tpu.map.arena import merge_arenas

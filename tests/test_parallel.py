@@ -156,10 +156,22 @@ class TestMultiSequenceDistributedBA:
         assert np.isfinite(costs).all()
         assert costs[-1] <= costs[0] * 1.05  # BA does not diverge
         # both sequences' keyframes stayed in their own neighborhoods
-        pos = np.asarray(out.frame_pose[:st["n_frames"], :3])
+        # — checked on camera CENTERS, not pose translations (the
+        # translation-sign check masked a real merge bug: poses were
+        # left-composed with the alignment transform, moving cameras
+        # OPPOSITE to the points; fixed round 5)
+        from gslam_tpu.core.se3 import se3_inverse
+
         n1 = int(s1.arena.n_frames)
-        assert np.abs(pos[:n1, 0]).max() < 25.0
-        assert pos[n1:, 0].min() > 25.0
+        ctr = np.asarray(se3_inverse(
+            out.frame_pose[:st["n_frames"], :7])[:, :3])
+        assert np.abs(ctr[:n1, 0]).max() < 25.0
+        assert ctr[n1:, 0].min() > 25.0
+        # cameras and points must be in the SAME rebased world: b's
+        # points sit around x=+50 like b's cameras
+        pv = np.asarray(out.point_valid)
+        px = np.asarray(out.point_xyz)[pv]
+        assert px[:, 0].max() > 25.0
 
 
 class TestShardedTracking:
