@@ -175,10 +175,12 @@ class KeyframeSLAM:
         self._kf_insert_fused = None       # built lazily
         self._local_ba_fused = None        # built lazily
         self._pending_fid = -1
-        # host mirror of arena.n_frames (monotone; insert_frame
-        # returns fid == previous n_frames) — avoids a device fetch
-        # per keyframe for control decisions
+        # host mirrors of arena counters (n_frames is exact —
+        # insert_frame returns fid == previous count; n_points is
+        # refreshed at hygiene cadence and used only for stats rows) —
+        # avoid device fetches per keyframe/batch for control decisions
         self._n_frames_host = 0
+        self._n_points_host = 0
 
     # ------------------------------------------------------------------
     def valid(self) -> bool:
@@ -546,8 +548,8 @@ class KeyframeSLAM:
 
             def body(carry, x):
                 img, key = x
-                pose_wc, velocity, fs_kf, stopped, vis_acc, fnd_acc = \
-                    carry
+                (pose_wc, velocity, fs_kf, stopped, vis_acc, fnd_acc,
+                 trig_state) = carry
                 feats = extract_features(img, max_kps=c.max_kps,
                                          threshold=c.fast_threshold,
                                          use_pallas=c.use_pallas)
@@ -588,11 +590,24 @@ class KeyframeSLAM:
                 pose_wc1 = jnp.where(accept, new_pose_wc, pose_wc)
                 velocity1 = jnp.where(accept, new_velocity, velocity)
                 fs2 = jnp.where(accept, fs1, fs_kf)
+                # landmark visible/found statistics count accepted
+                # frames AND the trigger frame (sequential parity: the
+                # tracker updates them for every tracked frame)
+                stat_on = accept | ((~stopped) & trigger)
                 vis_acc1 = vis_acc + jnp.where(
-                    accept, visible.astype(jnp.int32), 0)
+                    stat_on, visible.astype(jnp.int32), 0)
                 fnd_acc1 = fnd_acc + jnp.where(
-                    accept, (m.valid & inl).astype(jnp.int32), 0)
+                    stat_on, (m.valid & inl).astype(jnp.int32), 0)
                 rel = se3_mul(arena.frame_pose[last_kf][:7], pose_wc1)
+                # the FIRST trigger frame's full tracking state is
+                # frozen into the carry: the host replay then skips
+                # its own extract+match+PnP dispatches and feeds the
+                # keyframe/relocalization path directly (the replay
+                # recompute was ~22% of the full-system frame cost)
+                first = (~stopped) & trigger
+                keep = lambda new_, old_: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(first, a, b), new_, old_)
+                trig1 = keep((feats, m, inl, T), trig_state)
                 # ONE packed per-frame summary row: a single host
                 # fetch per batch instead of one per output array
                 # (each device->host fetch is a full tunnel RTT)
@@ -601,20 +616,35 @@ class KeyframeSLAM:
                     jnp.stack([n.astype(jnp.float32),
                                m.count.astype(jnp.float32),
                                feats.count.astype(jnp.float32),
-                               ((~stopped) & trigger)
-                               .astype(jnp.float32)])])
+                               first.astype(jnp.float32),
+                               ok.astype(jnp.float32)])])
                 return (pose_wc1, velocity1, fs2, stopped | trigger,
-                        vis_acc1, fnd_acc1), out
+                        vis_acc1, fnd_acc1, trig1), out
 
             S = slab_ids.shape[0]
+            K = c.max_kps
+            feats0 = Features(
+                uv=jnp.zeros((K, 2)), score=jnp.zeros((K,)),
+                angle=jnp.zeros((K,)),
+                desc=jnp.zeros((K, 8), jnp.uint32),
+                valid=jnp.zeros((K,), bool),
+                count=jnp.zeros((), jnp.int32))
+            from gslam_tpu.ops.matching import Matches
+            m0 = Matches(idx=jnp.zeros((S,), jnp.int32),
+                         dist=jnp.zeros((S,)),
+                         valid=jnp.zeros((S,), bool),
+                         count=jnp.zeros((), jnp.int32))
+            trig0 = (feats0, m0, jnp.zeros((S,), bool), se3_identity())
             carry0 = (pose_wc0, velocity0, fs_kf0, jnp.bool_(False),
                       jnp.zeros((S,), jnp.int32),
-                      jnp.zeros((S,), jnp.int32))
+                      jnp.zeros((S,), jnp.int32), trig0)
             carry, outs = jax.lax.scan(body, carry0, (imgs, keys))
-            pose_wc, velocity, fs_kf, _, vis_acc, fnd_acc = carry
+            (pose_wc, velocity, fs_kf, _, vis_acc, fnd_acc,
+             trig_out) = carry
             new_vis = arena.point_visible.at[slab_ids].add(vis_acc)
             new_fnd = arena.point_found.at[slab_ids].add(fnd_acc)
-            return outs, pose_wc, velocity, new_vis, new_fnd
+            return (outs, pose_wc, velocity, new_vis, new_fnd,
+                    slab_ids, trig_out)
 
         return batched
 
@@ -649,21 +679,22 @@ class KeyframeSLAM:
                 [np.asarray(f.image) for f in batch]))
             keys = jax.random.split(self._next_key(), K)
             with timer.section("slam/track_batch"):
-                outs, pose_wc, velocity, new_vis, new_fnd = \
-                    self._batched_track(
-                        self.arena, jnp.asarray(self.last_kf_id),
-                        self.pose_wc, self.velocity,
-                        jnp.asarray(self.frames_since_kf, jnp.int32),
-                        imgs, keys)
-                outs_np = np.asarray(outs)        # ONE fetch (K, 18)
+                (outs, pose_wc, velocity, new_vis, new_fnd, slab_ids,
+                 trig_state) = self._batched_track(
+                    self.arena, jnp.asarray(self.last_kf_id),
+                    self.pose_wc, self.velocity,
+                    jnp.asarray(self.frames_since_kf, jnp.int32),
+                    imgs, keys)
+                outs_np = np.asarray(outs)        # ONE fetch (K, 19)
             poses_b = outs_np[:, :7]
             rels_b = outs_np[:, 7:14]
             n_inl_b = outs_np[:, 14].astype(np.int64)
             n_match_b = outs_np[:, 15].astype(np.int64)
             n_feat_b = outs_np[:, 16].astype(np.int64)
+            ok_b = outs_np[:, 18] > 0.5
             trig = np.nonzero(outs_np[:, 17] > 0.5)[0]
             n_accept = int(trig[0]) if len(trig) else K
-            nf, npts = int(self.arena.n_frames), int(self.arena.n_points)
+            nf, npts = self._n_frames_host, self._n_points_host
             for j in range(n_accept):
                 f = batch[j]
                 self.trajectory.append(poses_b[j])
@@ -674,6 +705,11 @@ class KeyframeSLAM:
                     "n_matches": int(n_match_b[j]),
                     "n_inliers": int(n_inl_b[j]),
                     "n_kf": nf, "n_points": npts})
+            # landmark statistics cover accepted frames + the trigger
+            # frame; apply unconditionally (n_accept may be 0 with a
+            # trigger at the batch head)
+            self.arena = self.arena.replace(point_visible=new_vis,
+                                            point_found=new_fnd)
             if n_accept > 0:
                 # the scan carry froze at the trigger, so it holds the
                 # state after the LAST ACCEPTED frame — keep it on
@@ -682,18 +718,70 @@ class KeyframeSLAM:
                 self.velocity = velocity
                 self.frames_since_kf += n_accept
                 self._lost_frames = 0
-                self.arena = self.arena.replace(point_visible=new_vis,
-                                                point_found=new_fnd)
             i += n_accept
             out.extend([np.asarray(p) for p in poses_b[:n_accept]])
             if n_accept < K:
-                # trigger frame: full sequential path (keyframe
-                # insertion / relocalization / local BA / hygiene);
-                # its stat counters were masked out on device, so the
-                # replay records them exactly once
-                out.append(self.track(batch[n_accept]))
+                # trigger frame: its extract/match/PnP state is already
+                # ON DEVICE in trig_state — run the keyframe /
+                # relocalization logic directly instead of replaying
+                # the whole tracking step
+                out.append(self._handle_trigger_frame(
+                    batch[n_accept], trig_state, slab_ids,
+                    bool(ok_b[n_accept]),
+                    int(n_inl_b[n_accept]), int(n_match_b[n_accept]),
+                    int(n_feat_b[n_accept])))
                 i += 1
         return out
+
+    def _handle_trigger_frame(self, frame: FrameData, trig_state,
+                              slab_ids, ok: bool, n_inliers: int,
+                              n_matches: int, n_feats: int
+                              ) -> np.ndarray:
+        """Keyframe-promotion / tracking-lost handling for the frame
+        that stopped a batched dispatch, using the device-resident
+        tracking state the batch already computed.  Mirrors track()'s
+        post-PnP control flow exactly (same gates, same bookkeeping);
+        the only difference from a sequential replay is that RANSAC is
+        not re-run with a fresh key."""
+        c = self.cfg
+        feats, m, inl, T = trig_state
+        self._cur_kp_depth = self._kp_depths(frame, feats)
+        self._cur_kp_color = self._kp_colors(frame, feats)
+        self._last_track = (slab_ids, m, inl)
+        if ok:
+            # accepted pose that also crossed the keyframe predicate
+            self.velocity = se3_mul(T, self.pose_wc)
+            self.pose_wc = se3_inverse(T)
+            self.frames_since_kf += 1
+            self._lost_frames = 0
+            self._insert_keyframe(frame, feats, T)
+        else:
+            # lost: coast on the motion model; BoW relocalization,
+            # then forced re-anchor after max_lost_frames
+            self._lost_frames = getattr(self, "_lost_frames", 0) + 1
+            pred_cw = se3_mul(self.velocity, se3_inverse(self.pose_wc))
+            self.pose_wc = se3_inverse(pred_cw)
+            if not self._relocalize(feats):
+                if self._lost_frames > c.max_lost_frames:
+                    self._insert_keyframe(frame, feats,
+                                          se3_inverse(self.pose_wc))
+                    self._lost_frames = 0
+        pose_np = np.asarray(self.pose_wc)
+        self.trajectory.append(pose_np)
+        kf = self.last_kf_id
+        if kf >= 0:
+            rel = se3_mul(self.arena.frame_pose[kf][:7], self.pose_wc)
+            self._traj_rel.append((kf, np.asarray(rel)))
+        else:
+            self._traj_rel.append((-1, pose_np))
+        self.timestamps.append(frame.timestamp)
+        self.stats.append({
+            "n_features": n_feats, "n_matches": n_matches,
+            "n_inliers": n_inliers, "n_kf": self._n_frames_host,
+            "n_points": self._n_points_host})
+        self._prev_feats = feats
+        self._prev_frame = frame
+        return pose_np
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int, n_matches: int) -> bool:
@@ -1000,6 +1088,7 @@ class KeyframeSLAM:
             # the last recurring host syncs)
             if nf >= 8 and nf % c.hygiene_interval == 0:
                 n_alloc = int(self.arena.n_points)
+                self._n_points_host = n_alloc
                 if n_alloc > 0.8 * self.arena.cap_points:
                     n_valid = int(self.arena.point_valid.sum())
                     if n_valid < 0.7 * n_alloc:
