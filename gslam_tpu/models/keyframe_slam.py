@@ -93,6 +93,10 @@ class SLAMConfig:
     # a remote-execution link every scalar fetch costs a full
     # control-plane round trip.
     dispatch_batch: int = 1
+    # fused single-dispatch keyframe insertion / local BA (debug
+    # escape hatch: False = stage-by-stage host chains)
+    fuse_keyframe_insert: bool = True
+    fuse_local_ba: bool = True
     # live-loop map hygiene (reference Map::eraseMapPoint / MapPoint
     # descriptor-normal refresh / ORB-SLAM KeyFrameCulling analogs)
     enable_map_hygiene: bool = True
@@ -174,6 +178,7 @@ class KeyframeSLAM:
         self._batched_track = None         # built lazily (per batch K)
         self._kf_insert_fused = None       # built lazily
         self._local_ba_fused = None        # built lazily
+        self._reloc_batch = None           # built lazily
         self._pending_fid = -1
         # host mirrors of arena counters (n_frames is exact —
         # insert_frame returns fid == previous count; n_points is
@@ -922,7 +927,8 @@ class KeyframeSLAM:
     def _insert_keyframe(self, frame: FrameData, feats: Features,
                          pose_cw, run_ba: bool = True) -> None:
         c = self.cfg
-        fused_ok = self.initialized and hasattr(self, "_last_track")
+        fused_ok = (c.fuse_keyframe_insert and self.initialized
+                    and hasattr(self, "_last_track"))
         with timer.section("slam/keyframe"):
             if fused_ok:
                 if self._kf_insert_fused is None:
@@ -1161,6 +1167,42 @@ class KeyframeSLAM:
         self.trajectory = [
             np.concatenate([p[:3] * s, p[3:]]) for p in self.trajectory]
 
+    def _build_reloc_batch(self):
+        """One jitted graph verifying up to 8 relocalization
+        candidates: per-candidate covisibility neighbourhood gather,
+        descriptor matching and 1024-hypothesis PnP RANSAC, vmapped
+        over the candidate axis (reference relocalization checks
+        candidates sequentially; on a device the hypotheses are just
+        one more batch dimension)."""
+        c = self.cfg
+        cam = self.camera
+        thr = (c.pnp_px_threshold / cam.fx) ** 2
+
+        @jax.jit
+        def reloc8(arena, cands, kp_desc, kp_valid, kp_uv, keys,
+                   max_depth):
+            def one(cand, key):
+                pids = covis_union_ids(arena, cand, c.local_map_size,
+                                       window=4, min_common=5)
+                ok = (pids >= 0) & arena.point_valid[pids.clip(0)]
+                xyz = arena.point_xyz[pids.clip(0)]
+                pdesc = arena.point_desc[pids.clip(0)]
+                m = match_descriptors(pdesc, ok, kp_desc, kp_valid,
+                                      ratio=0.9)
+                # B=1024: loop-scale matches carry no pose prior, so
+                # their inlier rate is far below the tracker's gated
+                # matches
+                T, inl, n = find_pnp_ransac(
+                    key, xyz,
+                    cam.unproject(kp_uv[m.idx.clip(0)])[:, :2],
+                    m.valid, threshold=thr, B=1024,
+                    max_depth=max_depth)
+                return T, n, se3_inverse(T)[:3]
+
+            return jax.vmap(one, in_axes=(0, 0))(cands, keys)
+
+        return reloc8
+
     def _relocalize(self, feats: Features) -> bool:
         """BoW relocalization after tracking loss (reference: the
         relocalization module of SLAM plugins): query the keyframe
@@ -1190,35 +1232,40 @@ class KeyframeSLAM:
         lo, hi = fpos.min(0) - 1.0, fpos.max(0) + 1.0
         margin = 0.5 * float((hi - lo).max()) + 1.0
         max_depth = 4.0 * float((hi - lo).max()) + 10.0
-        results = []               # (n, T, center, cand)
-        for cand in np.argsort(-scores)[:8]:
+        # ALL candidates verified in ONE vmapped dispatch (the
+        # per-candidate python loop cost ~3 device round trips x 8
+        # candidates per relocalization attempt)
+        cands_rank = [int(x) for x in np.argsort(-scores)[:8]]
+        good = []
+        for cand in cands_rank:
             if scores[cand] < self.loop_closer.min_score:
                 break
-            # match against the candidate's covisibility neighbourhood,
-            # not just its own points (reference relocalization enriches
-            # the candidate's landmarks the same way); the PnP pose is
-            # a WORLD pose, so the best-verifying candidate wins even
-            # when BoW ranks a different (overlapping) view first
-            pids = covis_union_ids(self.arena, jnp.asarray(int(cand)),
-                                   self.cfg.local_map_size, window=4,
-                                   min_common=5)
-            ok = (pids >= 0) & self.arena.point_valid[pids.clip(0)]
-            xyz = self.arena.point_xyz[pids.clip(0)]
-            pdesc = self.arena.point_desc[pids.clip(0)]
-            m = match_descriptors(pdesc, ok, feats.desc, feats.valid,
-                                  ratio=0.9)
-            # B=1024: loop-scale matches carry no pose prior, so their
-            # inlier rate is far below the tracker's gated matches
-            T, inl, n = find_pnp_ransac(
-                self._next_key(), xyz,
-                self.camera.unproject(feats.uv[m.idx.clip(0)])[:, :2],
-                m.valid, threshold=thr, B=1024, max_depth=max_depth)
-            center = np.asarray(se3_inverse(T)[:3])
+            good.append(cand)
+        if not good:
+            return False
+        if self._reloc_batch is None:
+            self._reloc_batch = self._build_reloc_batch()
+        cands8 = np.full(8, good[0], np.int32)
+        cands8[:len(good)] = good
+        # one key per EVALUATED candidate, drawn in rank order — the
+        # exact key stream of the sequential per-candidate loop this
+        # replaces (behavior-identical, one dispatch); padding lanes
+        # reuse the last key (their results are discarded)
+        keys_list = [self._next_key() for _ in good]
+        keys8 = jnp.stack(keys_list + [keys_list[-1]]
+                          * (8 - len(good)))
+        T8, n8, ctr8 = jax.device_get(self._reloc_batch(
+            self.arena, jnp.asarray(cands8), feats.desc, feats.valid,
+            feats.uv, keys8, jnp.asarray(max_depth, jnp.float32)))
+        results = []               # (n, T, center, cand)
+        for k, cand in enumerate(good):
+            center = ctr8[k]
             if (not np.isfinite(center).all()
                     or (center < lo - margin).any()
                     or (center > hi + margin).any()):
                 continue
-            results.append((int(n), T, center, int(cand)))
+            results.append((int(n8[k]), jnp.asarray(T8[k]), center,
+                            cand))
         accept = None
         if results:
             results.sort(key=lambda r: -r[0])
@@ -1340,7 +1387,7 @@ class KeyframeSLAM:
 
     def _local_ba(self) -> None:
         c = self.cfg
-        if not (self.vi_ready and c.enable_vi_ba):
+        if c.fuse_local_ba and not (self.vi_ready and c.enable_vi_ba):
             with timer.section("slam/local_ba"):
                 if self._local_ba_fused is None:
                     self._local_ba_fused = self._build_local_ba_fused()
@@ -1367,7 +1414,16 @@ class KeyframeSLAM:
             problem, _ = build_problem_from_arena(
                 self.arena, cam_ids, point_ids, fixed, self.camera,
                 max_obs_per_point=c.ba_obs_per_point)
-            problem = self._vi_local_ba(problem, cam_ids)
+            if self.vi_ready and c.enable_vi_ba:
+                problem = self._vi_local_ba(problem, cam_ids)
+            else:
+                from gslam_tpu.opt.ba import resolve_ba_backend
+
+                backend = (resolve_ba_backend(problem)
+                           if c.use_pallas else "jnp")
+                problem, stats = bundle_adjust(problem,
+                                               iters=c.ba_iters,
+                                               backend=backend)
             self.arena = write_back_to_arena(self.arena, problem, cam_ids,
                                              point_ids)
             timer.block(self.arena)

@@ -495,7 +495,23 @@ class LoopCloser:
             frame_pose=fp,
             point_xyz=jnp.where(arena.point_valid[:, None], X_new,
                                 arena.point_xyz))
-        if global_ba_iters > 0:
+        # post-loop global BA only when the correction actually moved
+        # the map: the pose graph has already distributed the loop
+        # error, and a polish over a barely-shifted map costs minutes
+        # at KITTI-00 scale for no accuracy (the reference's
+        # background-thread GBA-with-abort achieves the same effect by
+        # other means).  Gate = max keyframe centre shift vs 1% of the
+        # scene extent (with a 5 cm floor).
+        run_gba = global_ba_iters > 0
+        if run_gba:
+            old_ctr = np.asarray(se3_inverse(old)[:, :3])
+            new_ctr = np.asarray(se3_inverse(new)[:, :3])
+            max_shift = float(np.linalg.norm(new_ctr - old_ctr,
+                                             axis=1).max())
+            extent = float(np.ptp(new_ctr, axis=0).max())
+            if max_shift < max(0.05, 0.01 * extent):
+                run_gba = False
+        if run_gba:
             from gslam_tpu.opt.ba import global_bundle_adjust
             from gslam_tpu.utils.timer import timer
 
