@@ -203,6 +203,8 @@ class KeyframeSLAM:
                  if isinstance(arena_or_path, str) else arena_or_path)
         self.arena = arena
         self.last_kf_id = int(arena.n_frames) - 1
+        self._n_frames_host = self.last_kf_id + 1
+        self._n_points_host = int(arena.n_points)
         self.initialized = (self.last_kf_id >= 0
                             and int(arena.point_valid.sum()) > 20)
         if pose_wc is not None:
@@ -806,11 +808,13 @@ class KeyframeSLAM:
                              jnp.zeros_like(feats.score)], -1)
         depth = (self._cur_kp_depth if self._cur_kp_depth is not None
                  else jnp.zeros((self.cfg.max_kps,)))
+        if self._n_frames_host >= self.cfg.cap_frames:
+            return -1                # arena frame capacity exhausted
         self.arena, fid = insert_frame(
             self.arena, sim3_from_se3(pose_cw), frame.timestamp,
             feats.uv, kp_meta, feats.desc, feats.count, kp_depth=depth)
-        fid_i = int(fid)
-        self._n_frames_host = max(self._n_frames_host, fid_i + 1)
+        fid_i = self._n_frames_host   # exact mirror of the device slot
+        self._n_frames_host = fid_i + 1
         return fid_i
 
     def _build_kf_insert_fused(self):
@@ -949,9 +953,13 @@ class KeyframeSLAM:
                         self.arena, pose_cw, frame.timestamp, feats,
                         jnp.asarray(self.last_kf_id), slab_ids,
                         m.idx, m.valid, inl)
-                fid = int(fid_dev)
-                if fid < 0:
+                # fid is EXACTLY predictable on the host: insert_frame
+                # allocates slot n_frames (mirrored in _n_frames_host)
+                # or drops the write at capacity — no device fetch
+                del fid_dev
+                if self._n_frames_host >= c.cap_frames:
                     return           # arena frame capacity exhausted
+                fid = self._n_frames_host
                 if self._imu_acc is not None and self.last_kf_id >= 0:
                     self.imu_edges.append(
                         (fid, self.last_kf_id,
