@@ -322,13 +322,13 @@ class KeyframeSLAM:
                 # the dataset player's job)
                 self.velocity = self.velocity.at[3:7].set(
                     quat_conj(imu_delta.dq))
-            pose_cw, n_matches, n_inliers = self._track_local_map(feats)
+            pose_cw, n_matches, n_inliers, jump = \
+                self._track_local_map(feats)
             # sanity gate: a "consistent" RANSAC solution far from the
             # motion-model prediction is a repetitive-texture alias —
-            # reject it rather than teleporting the map
+            # reject it rather than teleporting the map (jump computed
+            # on device, fetched packed with the counts)
             pred_cw = se3_mul(self.velocity, se3_inverse(self.pose_wc))
-            jump = float(jnp.linalg.norm(
-                se3_inverse(pose_cw)[:3] - se3_inverse(pred_cw)[:3]))
             ok = (n_inliers >= c.min_track_inliers
                   and jump <= c.max_pose_jump)
             if ok:
@@ -375,8 +375,8 @@ class KeyframeSLAM:
         self.timestamps.append(frame.timestamp)
         self.stats.append({
             "n_features": int(feats.count), "n_matches": n_matches,
-            "n_inliers": n_inliers, "n_kf": int(self.arena.n_frames),
-            "n_points": int(self.arena.n_points)})
+            "n_inliers": n_inliers, "n_kf": self._n_frames_host,
+            "n_points": self._n_points_host})
         return np.asarray(self.pose_wc)
 
     # ------------------------------------------------------------------
@@ -385,7 +385,8 @@ class KeyframeSLAM:
         if self._cur_kp_depth is not None:
             pose_cw = se3_inverse(self.pose_wc)
             self._insert_keyframe(frame, feats, pose_cw, run_ba=False)
-            self.initialized = int(self.arena.n_points) > 20
+            self._n_points_host = int(self.arena.n_points)
+            self.initialized = self._n_points_host > 20
             return
         # mono: needs previous frame for two-view init
         if self._prev_feats is None:
@@ -494,7 +495,15 @@ class KeyframeSLAM:
                 visible.astype(jnp.int32))
             new_fnd = arena.point_found.at[slab_ids].add(
                 (m.valid & inl).astype(jnp.int32))
-            return slab_ids, m, inl, T, n, new_vis, new_fnd
+            # pose-jump sanity scalar computed ON DEVICE and packed
+            # with the match/inlier counts: the host fetches ONE tiny
+            # array per frame instead of three scalars (each fetch is
+            # a control-plane round trip)
+            jump = jnp.linalg.norm(
+                se3_inverse(T)[:3] - se3_inverse(pose_cw_pred)[:3])
+            scalars = jnp.stack([m.count.astype(jnp.float32),
+                                 n.astype(jnp.float32), jump])
+            return slab_ids, m, inl, T, scalars, new_vis, new_fnd
 
         return fused
 
@@ -506,14 +515,15 @@ class KeyframeSLAM:
             # prediction (resolves repetitive-texture ambiguity)
             pose_cw_pred = se3_mul(self.velocity,
                                    se3_inverse(self.pose_wc))
-            slab_ids, m, inl, T, n, new_vis, new_fnd = self._fused_track(
+            (slab_ids, m, inl, T, scalars, new_vis,
+             new_fnd) = self._fused_track(
                 self.arena, jnp.asarray(self.last_kf_id), pose_cw_pred,
                 feats.uv, feats.desc, feats.valid, self._next_key())
-            timer.block(T)
+            sc = np.asarray(scalars)        # ONE fetch (also syncs)
         self.arena = self.arena.replace(point_visible=new_vis,
                                         point_found=new_fnd)
         self._last_track = (slab_ids, m, inl)
-        return T, int(m.count), int(n)
+        return T, int(sc[0]), int(sc[1]), float(sc[2])
 
     # ------------------------------------------------------------------
     def _build_batched_track(self, K: int):
