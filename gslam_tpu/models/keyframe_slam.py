@@ -681,8 +681,11 @@ class KeyframeSLAM:
             # sequential path for: bootstrap, IMU sequences (factor
             # accumulation is host state), depth capture for imminent
             # keyframes is handled by replay, short tails
+            # sequential fallbacks: bootstrap, IMU accumulation (host
+            # state), short tails, and pyramid extraction (the batched
+            # scan compiles the single-scale frontend only)
             if (K == 1 or not self.initialized or fr.imu is not None
-                    or len(frames) - i < K):
+                    or c.n_levels > 1 or len(frames) - i < K):
                 out.append(self.track(fr))
                 i += 1
                 continue
