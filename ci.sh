@@ -45,7 +45,13 @@ run_pytest() {
 if [ "$tier" = fast ]; then
   echo "== fast unit tier =="
   run_pytest 1200 tests/ -q -m "not slow and not tpu" -x
+elif [ "$tier" = longrun ]; then
+  # KITTI-00-scale endurance runs (1024-frame two-lap ~20 min +
+  # 4096-frame four-lap ~2 h on this host) — their own tier so the
+  # full tier stays within its cap
+  echo "== longrun tier =="
+  GSLAM_TEST_TIMEOUT=28800 run_pytest 14400 tests/ -q -m "longrun" -s
 else
-  echo "== full suite =="
-  run_pytest 7200 tests/ -q -m "not tpu"
+  echo "== full suite (longruns have their own tier: ./ci.sh longrun) =="
+  run_pytest 7200 tests/ -q -m "not tpu and not longrun"
 fi
